@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared query: name, Spark implementation, optional DuckDB oracle SQL.
+  *
+  * Contract (SURVEY.md §2): every oracle-checked query ends with a total
+  * ORDER BY over a unique key, emits no raw nanosecond timestamps, and makes
+  * every floating-point output either (a) bit-deterministic — the same IEEE
+  * ops in the same order on both engines — or (b) rounded after an exact
+  * decimal aggregation.
+  */
+final case class Spec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Parquet table readers + determinism helpers shared by every operator. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
+    * reader refuses (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy
+    * conf) and rebuild a microsecond TimestampType column. The generated
+    * data has zero sub-microsecond digits (verified at every sf), and
+    * DuckDB also surfaces the column as a µs TIMESTAMP, so both engines see
+    * bit-identical values.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register all tables as temp views (for spark.sql-shaped queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------
+  // Deterministic money aggregation.
+  //
+  // A double sum is association-order dependent: Spark's partial-aggregate
+  // merge order varies run to run, and DuckDB folds in yet another order.
+  // Money-like columns (2..6 decimal digits) are summed EXACTLY by casting
+  // each value to DECIMAL first (double→decimal rounds the same way in both
+  // engines at these scales), summing the decimals (exact, order-free),
+  // rounding in decimal space, and only then casting to double. The final
+  // double is bit-identical on both sides regardless of execution order.
+  // ---------------------------------------------------------------------
+
+  /** Exact order-independent sum of a money-like expression, rounded to 2
+    * decimal places, returned as double. `scale` = decimal digits of the
+    * *input* expression (2 for prices, 4 for price*(1-disc), 6 for *(1+tax)).
+    */
+  def msum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(30, scale))), 2).cast(DoubleType)
+
+  /** DuckDB SQL text equivalent of [[msum]].
+    * NOTE: `round(decimal, 2)` — not a DECIMAL(p,2) cast — because DuckDB's
+    * decimal downscale cast truncates while Spark's rounds; `round` is
+    * half-up (away from zero) in decimal space on both engines.
+    */
+  def msumSql(e: String, scale: Int = 2): String =
+    s"CAST(round(sum(CAST(($e) AS DECIMAL(30,$scale))), 2) AS DOUBLE)"
+
+  /** Order-independent mean: exact decimal sum cast to double, divided by
+    * count. One IEEE division on identical inputs → bit-identical result.
+    */
+  def mavg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(lit(1))
+
+  /** DuckDB SQL text equivalent of [[mavg]]. */
+  def mavgSql(e: String, scale: Int = 2): String =
+    s"(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) / count(*))"
+}

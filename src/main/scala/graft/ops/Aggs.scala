@@ -1,0 +1,209 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category D — aggregation forms.
+  *
+  * Determinism: money sums go through [[Tables.msum]] (exact decimal sum →
+  * order-independent); `l_quantity` is integer-valued so its double sum is
+  * exact in any association order; genuinely irrational statistics
+  * (stddev/var/corr/covar) are rounded.
+  *
+  * Scale notes: every groupBy here is a hash aggregate with map-side
+  * partial aggregation — the shuffle carries one row per (partition, group),
+  * not per input row. `count(DISTINCT)` expands to a two-phase aggregate;
+  * the HLL variant (`agg_approx_distinct`) is the 100 TB path when
+  * exactness isn't required.
+  */
+object Aggs {
+  import Tables._
+
+  private val q1 = { (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        mavg(col("l_extendedprice")).as("avg_price"),
+        mavg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q1 shape — also the flagship `SparkEntry.entry` query. */
+  def q1Flagship(s: SparkSession, d: String) = q1(s, d)
+
+  val all: Seq[Spec] = Seq(
+    Spec("agg_global",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_price"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty")),
+      Some(s"""SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+                 ${msumSql("l_extendedprice")} AS sum_price,
+                 min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                 min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+                 (sum(l_quantity) / count(*)) AS avg_qty
+               FROM lineitem""")),
+
+    Spec("agg_groupby", q1,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty,
+                 ${msumSql("l_extendedprice")} AS sum_base_price,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+                 (sum(l_quantity) / count(*)) AS avg_qty,
+                 ${mavgSql("l_extendedprice")} AS avg_price,
+                 ${mavgSql("l_discount")} AS avg_disc,
+                 count(*) AS count_order
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    Spec("agg_count_distinct",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Spec("agg_filtered",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0.0)).as("qty_returned"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_bigdisc"),
+          msum(when(col("l_tax") === 0.0, col("l_extendedprice")).otherwise(0.0)).as("price_notax"))
+        .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+                 sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END) AS qty_returned,
+                 count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_bigdisc,
+                 ${msumSql("CASE WHEN l_tax = 0.0 THEN l_extendedprice ELSE 0.0 END")} AS price_notax
+               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Irrational statistics: rounded (the only queries where a sub-ulp
+    // engine difference is possible; rounding absorbs it).
+    Spec("agg_stats",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 2).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 2) AS sd_qty,
+                round(var_samp(l_quantity), 2) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Emit the sorted per-group list as a joined string: stable to hash,
+    // no array-encoding drift between engines.
+    Spec("agg_collect_sorted",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("prios"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                array_to_string(list(o_orderpriority ORDER BY o_orderpriority), ',') AS prios
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // GROUPING SETS is SQL-only surface in Spark — same text runs on DuckDB.
+    Spec("agg_grouping_sets",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""SELECT coalesce(n_name, 'ALL') AS nation,
+                    coalesce(r_name, 'ALL') AS region_name,
+                    ${msumSql("o_totalprice")} AS revenue,
+                    count(*) AS n_orders
+                  FROM orders
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+                  GROUP BY GROUPING SETS ((n_name), (r_name), ())
+                  ORDER BY nation, region_name""")
+      },
+      Some(s"""SELECT coalesce(n_name, 'ALL') AS nation,
+                 coalesce(r_name, 'ALL') AS region_name,
+                 ${msumSql("o_totalprice")} AS revenue,
+                 count(*) AS n_orders
+               FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation   ON c_nationkey = n_nationkey
+                 JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((n_name), (r_name), ())
+               ORDER BY nation, region_name""")),
+
+    Spec("agg_rollup",
+      (s, d) => t(s, d, "orders")
+        .select(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          col("o_totalprice"))
+        .rollup("y", "m")
+        .agg(msum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("y"), lit(-1L)).as("y"),
+          coalesce(col("m"), lit(-1L)).as("m"),
+          col("revenue"), col("n_orders"))
+        .orderBy("y", "m"),
+      Some(s"""SELECT coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+                 ${msumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+               FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                            CAST(month(o_orderdate) AS BIGINT) AS m,
+                            o_totalprice
+                     FROM orders)
+               GROUP BY ROLLUP(y, m) ORDER BY y, m""")),
+
+    Spec("agg_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY rf, ls""")),
+
+    Spec("agg_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), msum(col("o_totalprice")).as("total"))
+        .where(col("n_orders") > 12)
+        .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, count(*) AS n_orders, ${msumSql("o_totalprice")} AS total
+               FROM orders GROUP BY o_custkey HAVING count(*) > 12
+               ORDER BY o_custkey""")),
+
+    // HLL++ sketch — the 100 TB distinct-count path. No oracle: estimate is
+    // implementation-specific (driver records rows-only).
+    Spec("agg_approx_distinct",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None)
+  )
+}

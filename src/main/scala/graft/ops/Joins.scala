@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category C — the 11 join forms.
+  *
+  * Scale notes: dimension tables (region, nation, part, supplier, customer)
+  * are broadcast (explicit `broadcast()` hint where the plan matters);
+  * fact-fact joins (lineitem ⋈ orders) shuffle on the join key — at 100 TB
+  * these become sort-merge joins whose skew AQE handles
+  * (`spark.sql.adaptive.skewJoin`). The as-of join is expressed as a
+  * conditional join + per-key window top-1, the shape that survives
+  * arbitrary fact sizes because the window partitions by the left key.
+  */
+object Joins {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    Spec("join_inner_broadcast",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .select(li("l_orderkey"), li("l_linenumber"), p("p_name"), p("p_brand"), li("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_name, p_brand, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              ORDER BY l_orderkey, l_linenumber, p_name, p_brand, l_quantity""")),
+
+    Spec("join_inner_shuffle",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(li("l_orderkey"), li("l_linenumber"),
+            o("o_orderdate").cast("date").cast("string").as("o_date"),
+            o("o_totalprice"), li("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+                o_totalprice, l_quantity
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
+    Spec("join_left",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+          .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+
+    Spec("join_right",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+        li.join(p, li("l_partkey") === p("p_partkey"), "right")
+          .select(p("p_partkey"), li("l_orderkey"), li("l_linenumber"), li("l_quantity"))
+          .orderBy(asc("p_partkey"), asc_nulls_first("l_orderkey"),
+            asc_nulls_first("l_linenumber"), asc_nulls_first("l_quantity"))
+      },
+      Some("""SELECT p_partkey, l_orderkey, l_linenumber, l_quantity
+              FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+              ORDER BY p_partkey, l_orderkey NULLS FIRST,
+                l_linenumber NULLS FIRST, l_quantity NULLS FIRST""")),
+
+    Spec("join_full",
+      (s, d) => {
+        val su = t(s, d, "supplier"); val c = t(s, d, "customer")
+        su.join(c, su("s_nationkey") === c("c_nationkey"), "full")
+          .select(su("s_suppkey"), c("c_custkey"), su("s_nationkey"), c("c_nationkey"))
+          .orderBy(asc_nulls_first("s_suppkey"), asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT s_suppkey, c_custkey, s_nationkey, c_nationkey
+              FROM supplier FULL JOIN customer ON s_nationkey = c_nationkey
+              ORDER BY s_suppkey NULLS FIRST, c_custkey NULLS FIRST""")),
+
+    Spec("join_semi",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    Spec("join_anti",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    Spec("join_cross",
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM region CROSS JOIN nation
+              ORDER BY r_regionkey, n_nationkey""")),
+
+    // Equi key + range condition → broadcast hash join with residual filter.
+    Spec("join_theta_range",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+        li.join(broadcast(p),
+            li("l_partkey") === p("p_partkey") &&
+            li("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
+          .select(p("p_partkey"), p("p_size"), li("l_orderkey"), li("l_linenumber"), li("l_quantity"))
+          .orderBy("p_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT p_partkey, p_size, l_orderkey, l_linenumber, l_quantity
+              FROM lineitem JOIN part
+                ON l_partkey = p_partkey
+               AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+              ORDER BY p_partkey, l_orderkey, l_linenumber, l_quantity""")),
+
+    // As-of join: per event, the latest order of customer=user_id with
+    // o_orderdate <= an event-derived date. No native as-of in Spark SQL;
+    // the portable shape (identical on both engines, SURVEY.md §2 C) is a
+    // conditional join + row_number() top-1 per left row.
+    // NOTE floor() before the double→int cast: Spark truncates double→int,
+    // DuckDB rounds — floor makes them agree.
+    Spec("join_asof",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("date_add(DATE '1995-01-01', CAST(floor(value * 20) AS INT))").as("ev_date"))
+        val o = t(s, d, "orders")
+        val j = ev.join(o,
+            o("o_custkey") === ev("user_id") &&
+            o("o_orderdate").cast("date") <= ev("ev_date"))
+        val w = Window.partitionBy(ev("event_id"))
+          .orderBy(o("o_orderdate").desc, o("o_orderkey").desc)
+        j.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(ev("event_id"), ev("user_id"),
+            ev("ev_date").cast("string").as("ev_date"),
+            o("o_orderkey"), o("o_orderdate").cast("date").cast("string").as("o_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id,
+                       DATE '1995-01-01' + CAST(floor(value * 20) AS INT) AS ev_date
+                FROM events),
+              j AS (
+                SELECT ev.event_id, ev.user_id, ev.ev_date, o.o_orderkey,
+                       CAST(o.o_orderdate AS DATE) AS o_date,
+                       row_number() OVER (PARTITION BY ev.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM ev JOIN orders o
+                  ON o.o_custkey = ev.user_id
+                 AND CAST(o.o_orderdate AS DATE) <= ev.ev_date)
+              SELECT event_id, user_id, CAST(ev_date AS VARCHAR) AS ev_date,
+                o_orderkey, CAST(o_date AS VARCHAR) AS o_date
+              FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // TPC-H Q5 shape adapted to available columns: revenue by region/nation.
+    Spec("join_multiway_star",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"), n("n_name"))
+          .agg(
+            msum(li("l_extendedprice") * (lit(1.0) - li("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+                 count(*) AS n_items
+               FROM lineitem
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation   ON c_nationkey = n_nationkey
+                 JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name
+               ORDER BY r_name, n_name"""))
+  )
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 categories A (scans) and B (projection / filter).
+  *
+  * Scale notes: every query here is a single parquet scan with the filter
+  * and projection pushed into the scan (verify `PushedFilters`/`ReadSchema`
+  * in explain) — at 100 TB these stay embarrassingly parallel, no shuffle
+  * except the final presentation sort required by the oracle hash.
+  */
+object Rel {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // -------------------------------------------------- A. scans
+    Spec("scan_full",
+      (s, d) => t(s, d, "region").orderBy("r_regionkey"),
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // Column pruning: 3 of 11 lineitem columns; ReadSchema must shrink.
+    // (l_orderkey, l_linenumber) is NOT unique in this data — every
+    // lineitem-grain query orders by ALL output columns so ties are full
+    // duplicates and the hash is order-insensitive.
+    Spec("scan_prune",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
+    // Predicate pushdown to parquet row groups.
+    Spec("scan_pushdown",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity < 5
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
+
+    // -------------------------------------------------- B. project / filter
+    // Computed columns: identical IEEE double arithmetic on both engines →
+    // bit-identical per-row results, no rounding needed.
+    Spec("project_expr",
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+          concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")).as("line_id"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS revenue,
+                l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+                CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge""")),
+
+    Spec("filter_compound",
+      (s, d) => t(s, d, "orders")
+        .where((col("o_orderstatus").isin("F", "P") &&
+                col("o_totalprice").between(50000, 200000)) ||
+               (!col("o_orderpriority").isin("5-LOW", "4-NOT SPECIFIED") &&
+                col("o_orderstatus") === "O" &&
+                col("o_totalprice") < 20000))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders
+              WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 200000)
+                 OR (NOT o_orderpriority IN ('5-LOW','4-NOT SPECIFIED')
+                     AND o_orderstatus = 'O' AND o_totalprice < 20000)
+              ORDER BY o_orderkey""")),
+
+    Spec("filter_like",
+      (s, d) => t(s, d, "part")
+        .where(col("p_type").like("PROMO%") ||
+               (col("p_name").like("%bolt") && col("p_brand").like("Brand#1%")))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+              WHERE p_type LIKE 'PROMO%'
+                 OR (p_name LIKE '%bolt' AND p_brand LIKE 'Brand#1%')
+              ORDER BY p_partkey""")),
+
+    // Null semantics over a derived nullable column (nullif).
+    Spec("filter_null_semantics",
+      (s, d) => t(s, d, "orders")
+        .withColumn("st", expr("nullif(o_orderstatus, 'P')"))
+        .select(
+          col("o_orderkey"), col("st"),
+          col("st").isNull.as("is_null"),
+          col("st").isNotNull.as("is_not_null"),
+          (col("st") <=> lit("F")).as("nsafe_f"),
+          (col("st") <=> lit(null).cast("string")).as("nsafe_null"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
+                (nullif(o_orderstatus, 'P') IS NULL) AS is_null,
+                (nullif(o_orderstatus, 'P') IS NOT NULL) AS is_not_null,
+                (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS nsafe_f,
+                (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS nsafe_null
+              FROM orders ORDER BY o_orderkey"""))
+  )
+}
