@@ -1,0 +1,272 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category H — scalar-function families.
+  *
+  * This category carries the highest oracle-dialect risk (SURVEY.md §7 M2);
+  * every dialect divergence found by probing DuckDB 1.0 is noted inline:
+  * regexp_replace needs 'g' in DuckDB, DuckDB `log` is log10 (`ln` on both
+  * sides), DuckDB casts double→int by ROUNDING (Spark truncates → always
+  * floor first), DuckDB length/size returns BIGINT (cast Spark's INT up),
+  * libm `ln`/`pow` are not correctly-rounded (round those outputs; `sqrt`
+  * IS IEEE-exact — emitted raw).
+  *
+  * Scale: all element-wise codegen'd expressions — no shuffle except the
+  * presentation sort; generators (explode) are narrow fan-outs.
+  */
+object Fns {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    Spec("fn_string",
+      (s, d) => t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          concat(col("c_name"), lit("/"), col("c_mktsegment")).as("tagged"),
+          substring(col("c_name"), 10, 5).as("sub"),
+          upper(col("c_mktsegment")).as("up"),
+          lower(col("c_name")).as("lo"),
+          lpad(col("c_name"), 25, "*").as("padded"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+          length(col("c_name")).cast("long").as("nlen"),
+          expr("replace(c_name, 'Customer', 'C')").as("repl"),
+          element_at(split(col("c_name"), "#"), 2).as("num_part"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                c_name || '/' || c_mktsegment AS tagged,
+                substring(c_name, 10, 5) AS sub,
+                upper(c_mktsegment) AS up,
+                lower(c_name) AS lo,
+                lpad(c_name, 25, '*') AS padded,
+                trim('  ' || c_mktsegment || '  ') AS trimmed,
+                CAST(length(c_name) AS BIGINT) AS nlen,
+                replace(c_name, 'Customer', 'C') AS repl,
+                split_part(c_name, '#', 2) AS num_part
+              FROM customer ORDER BY c_custkey""")),
+
+    Spec("fn_regex",
+      (s, d) => t(s, d, "part")
+        .where(col("p_type").rlike("^(PROMO|SMALL)"))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("long").as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          col("p_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                p_type
+              FROM part WHERE regexp_matches(p_type, '^(PROMO|SMALL)')
+              ORDER BY p_partkey""")),
+
+    Spec("fn_date",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+          last_day(col("o_orderdate").cast("date")).cast("string").as("eom"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dy,
+                CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+              FROM orders ORDER BY o_orderkey""")),
+
+    Spec("fn_timestamp",
+      (s, d) => t(s, d, "events")
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("mi"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                CAST(hour(ts) AS BIGINT) AS h,
+                CAST(minute(ts) AS BIGINT) AS mi,
+                epoch_us(date_trunc('hour', ts)) AS hour_us
+              FROM events ORDER BY event_id""")),
+
+    Spec("fn_math",
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          ceil(col("l_extendedprice") / 1000.0).cast("long").as("ceil_k"),
+          floor(col("l_extendedprice") / 1000.0).cast("long").as("floor_k"),
+          round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          (col("l_orderkey") % 7).as("okey_mod7"),
+          signum(col("l_discount") - 0.05).cast("long").as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "absd", "disc_sign"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                abs(l_discount - 0.05) AS absd,
+                CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ceil_k,
+                CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS floor_k,
+                round(pow(l_quantity, 2), 2) AS qty_sq,
+                sqrt(l_quantity) AS qty_sqrt,
+                round(ln(l_extendedprice), 6) AS ln_price,
+                l_orderkey % 7 AS okey_mod7,
+                CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, absd, disc_sign""")),
+
+    Spec("fn_conditional",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high").as("band"),
+          coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("status_x"),
+          least(col("o_totalprice"), lit(100000.0)).as("capped"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band,
+                coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_x,
+                least(o_totalprice, 100000.0) AS capped,
+                greatest(o_totalprice, 100000.0) AS floored
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Clean-value casts only; double→int goes through floor (DuckDB's direct
+    // cast rounds, Spark's truncates).
+    Spec("fn_cast",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast("long").as("key_rt"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          (lit("3.5").cast("double") + col("o_totalprice")).as("price_plus"),
+          col("o_orderdate").cast("date").cast("string").as("date_str"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(o_orderkey AS VARCHAR) AS key_str,
+                CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+                CAST('3.5' AS DOUBLE) + o_totalprice AS price_plus,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+              FROM orders ORDER BY o_orderkey""")),
+
+    // float32 elements cast to double (exact) before any arithmetic/output.
+    Spec("fn_array",
+      (s, d) => t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_d"),
+          element_at(col("embedding"), 64).cast("double").as("last_d"),
+          transform(slice(col("embedding"), 1, 3), x => x.cast("double")).as("head3"),
+          sort_array(array(lit(3), lit(1), lit(2))).as("arr_sorted"),
+          array_position(array(lit(3), lit(1), lit(2)), 2).cast("long").as("pos_of_2"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS first_d,
+                CAST(embedding[64] AS DOUBLE) AS last_d,
+                list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE)) AS head3,
+                list_sort([3, 1, 2]) AS arr_sorted,
+                CAST(list_position([3, 1, 2], 2) AS BIGINT) AS pos_of_2
+              FROM embeddings ORDER BY vec_id""")),
+
+    // Higher-order functions. Both engines fold sequentially left-to-right;
+    // init 0.0 + x1 ≡ x1, so Spark's aggregate == DuckDB's list_reduce.
+    // round(6) as insurance against non-correctly-rounded libm abs-sums.
+    Spec("fn_array_lambda",
+      (s, d) => t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          round(aggregate(
+            transform(col("embedding"), x => abs(x.cast("double"))),
+            lit(0.0), (acc, x) => acc + x), 6).as("l1_norm"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          element_at(transform(col("embedding"), x => x.cast("double") * 2.0), 1).as("first_x2"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                round(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  (a, b) -> a + b), 6) AS l1_norm,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                CAST(embedding[1] AS DOUBLE) * 2.0 AS first_x2
+              FROM embeddings ORDER BY vec_id""")),
+
+    // Real map functions on the Spark side (map_from_entries / element_at /
+    // explode of a sorted-entry map); the oracle computes the same relation
+    // without map types (map output encoding is a cross-engine hash trap).
+    Spec("fn_map",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        counts.groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .select(col("user_id"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+            explode(col("m")).as(Seq("etype", "n")))
+          .select("user_id", "etype", "n", "n_click")
+          .orderBy("user_id", "etype")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_type AS etype, count(*) AS n
+                FROM events GROUP BY user_id, event_type)
+              SELECT user_id, etype, n,
+                CAST(coalesce(sum(CASE WHEN etype = 'click' THEN n END)
+                  OVER (PARTITION BY user_id), 0) AS BIGINT) AS n_click
+              FROM c ORDER BY user_id, etype""")),
+
+    Spec("fn_json",
+      (s, d) => t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_struct"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k_path,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+              FROM events ORDER BY event_id""")),
+
+    // Generator / UDTF surface: posexplode ≡ unnest-with-index (DuckDB has
+    // no WITH ORDINALITY; an indexed list_transform lambda supplies it).
+    Spec("fn_explode_udtf",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token
+              FROM (SELECT doc_id,
+                      unnest(list_transform(string_split(text, ' '),
+                        (x, i) -> {'pos': i - 1, 'token': x})) AS u
+                    FROM documents)
+              ORDER BY doc_id, pos""")),
+
+    Spec("fn_struct_nested",
+      (s, d) => t(s, d, "documents")
+        .withColumn("s", struct(col("lang").as("lang"), col("n_chars").as("n")))
+        .where(col("s.lang") === "en")
+        .select(col("doc_id"), col("s.lang").as("slang"), col("s.n").as("sn"))
+        .orderBy("doc_id"),
+      Some("""WITH tt AS (
+                SELECT doc_id, struct_pack(lang := lang, n := n_chars) AS s
+                FROM documents)
+              SELECT doc_id, s.lang AS slang, s.n AS sn
+              FROM tt WHERE s.lang = 'en' ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 categories E (window functions) and F (sort / limit / top-k).
+  *
+  * Determinism: every window ORDER BY is made total with a key tie-break, so
+  * row_number/ntile/lag assignments are unambiguous. Running double sums go
+  * through a decimal cast (exact, order-free) because engines may fold
+  * window frames in different orders (DuckDB uses segment trees).
+  *
+  * Scale notes: windows partition by a key → each partition is processed on
+  * one executor after a hash shuffle; no global sort except the final
+  * presentation ORDER BY. `topk_global` compiles to
+  * TakeOrderedAndProjectExec — per-partition heaps + driver merge of k
+  * rows, never a full sort at 100 TB.
+  */
+object Windows {
+  import Tables._
+
+  private def ordersByCustDate(s: SparkSession, d: String) = {
+    val o = t(s, d, "orders")
+    (o, Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+  }
+
+  val all: Seq[Spec] = Seq(
+    Spec("win_row_number",
+      (s, d) => {
+        val (o, w) = ordersByCustDate(s, d)
+        o.select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders ORDER BY o_custkey, rn""")),
+
+    Spec("win_rank_dense",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+        t(s, d, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          .orderBy("p_brand", "rnk", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+                rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+              FROM part ORDER BY p_brand, rnk, p_partkey""")),
+
+    // ntile needs a TOTAL window ordering or bucket assignment is ambiguous.
+    Spec("win_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+              FROM customer ORDER BY c_mktsegment, c_custkey""")),
+
+    Spec("win_lag_lead",
+      (s, d) => {
+        val (o, w) = ordersByCustDate(s, d)
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+            lead(col("o_totalprice"), 1).over(w).as("next_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total,
+                lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_total
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // Decimal-cast inside the window sum: engines fold frames in different
+    // orders (segment trees vs running state) — decimal is exact either way.
+    Spec("win_running_sum",
+      (s, d) => {
+        val (o, w) = ordersByCustDate(s, d)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // Value-based (RANGE) frame — identical SQL text on both engines.
+    Spec("win_range_frame",
+      (s, d) => {
+        registerAll(s, d)
+        s.sql("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) OVER (
+                     PARTITION BY c_mktsegment ORDER BY c_acctbal
+                     RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+                 FROM customer ORDER BY c_mktsegment, c_custkey""")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) OVER (
+                  PARTITION BY c_mktsegment ORDER BY c_acctbal
+                  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+              FROM customer ORDER BY c_mktsegment, c_custkey""")),
+
+    Spec("win_first_last",
+      (s, d) => {
+        val (o, wBase) = ordersByCustDate(s, d)
+        val wAll = wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            first_value(col("o_orderdate").cast("date").cast("string")).over(wAll).as("first_date"),
+            last_value(col("o_orderdate").cast("date").cast("string")).over(wAll).as("last_date"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                first_value(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_date,
+                last_value(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_date
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // percent_rank = (rank-1)/(n-1), cume_dist = peers/n: one IEEE division
+    // on identical integers → bit-identical, no rounding needed.
+    Spec("win_percentiles",
+      (s, d) => {
+        val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+        t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_acctbal"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_acctbal,
+                percent_rank() OVER (ORDER BY s_acctbal, s_suppkey) AS pr,
+                cume_dist() OVER (ORDER BY s_acctbal, s_suppkey) AS cd
+              FROM supplier ORDER BY s_suppkey""")),
+
+    Spec("win_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, d, "part")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("p_brand", "rn", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "rn")
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+                FROM part) WHERE rn <= 3
+              ORDER BY p_brand, rn""")),
+
+    // ------------------------------------------------ F. sort / limit / topk
+    Spec("sort_multi",
+      (s, d) => t(s, d, "orders")
+        .withColumn("st", expr("nullif(o_orderstatus, 'P')"))
+        .select("o_orderkey", "st", "o_totalprice")
+        .orderBy(asc_nulls_first("st"), desc("o_totalprice"), asc("o_orderkey")),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+              FROM orders
+              ORDER BY st NULLS FIRST, o_totalprice DESC, o_orderkey""")),
+
+    // orderBy+limit → TakeOrderedAndProjectExec (no global sort at scale).
+    Spec("topk_global",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"))
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+                l_extendedprice * (1.0 - l_discount) AS revenue
+              FROM lineitem
+              ORDER BY revenue DESC, l_orderkey, l_linenumber, l_quantity
+              LIMIT 20"""))
+  )
+}

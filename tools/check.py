@@ -27,6 +27,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("Int64")
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("boolean")
+        elif s.dtype == object and s.dropna().size and isinstance(s.dropna().iloc[0], (list, np.ndarray)):
+            df[c] = s.map(lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v) if v is not None else None)
     return df
 
 
