@@ -12,7 +12,8 @@ object SparkEntry {
   /** All declared operator specs, one list per SURVEY.md §2 category. */
   def specs: Seq[Spec] =
     ops.Rel.all ++ ops.Joins.all ++ ops.Aggs.all ++
-      ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all
+      ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++
+      ops.Inference.all ++ ops.InferMapPartitions.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

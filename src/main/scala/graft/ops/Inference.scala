@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 category J — the reference's batch-inference surface,
+  * re-expressed Spark-first over `embeddings`.
+  *
+  * The reference's pipeline (partition corpus → load model per partition →
+  * forward pass → argmax → evaluate) becomes: a deterministic "model fit"
+  * (per-label centroids as an aggregation), a broadcast-join forward pass
+  * (dot products), window argmax, and relational eval metrics. The literal
+  * reference mechanism (opaque model + mapPartitions, model realized once
+  * per partition) is [[InferMapPartitions.scoreMapPartitions]], validated
+  * against this SQL-shaped path in the test suite.
+  *
+  * Determinism: float32 elements are cast to double (exact); per-(label,pos)
+  * means use exact decimal sums; dot-product terms are cast to
+  * DECIMAL(30,12) before summing (order-free) and scores rounded to 6.
+  *
+  * Scale: centroids are O(labels × dim) — tiny, always broadcastable; the
+  * scoring join explodes vectors once and hash-aggregates; at 100 TB the
+  * explode+join shape shuffles only (vec, pos, x) tuples, and the
+  * mapPartitions path avoids even that (model broadcast, no shuffle —
+  * the reference's "embarrassingly parallel" property).
+  */
+object Inference {
+  import Tables._
+
+  /** Exploded (vec_id, label, pos, x) with x as exact double. */
+  private def vexp(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double")).drop("xf")
+
+  /** Per-label mean vector, long form (clabel, pos, c) — the "model". */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    vexp(s, d)
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1))).as("cm"))
+      .select(col("clabel"), col("pos"), round(col("cm"), 6).as("c"))
+
+  /** Dot-product scores of every vector against every centroid. */
+  def scores(s: SparkSession, d: String): DataFrame =
+    vexp(s, d)
+      .join(broadcast(centroids(s, d)), "pos")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(round(sum((col("x") * col("c")).cast(DecimalType(30, 12))).cast(DoubleType), 6).as("score"))
+
+  /** Predictions: argmax score per vector, ties to lowest label. */
+  def preds(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("clabel"))
+    scores(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred"), col("score"))
+  }
+
+  // --- identical CTE text for the DuckDB oracle ---------------------------
+  private val vexpSql =
+    """vexp AS (
+         SELECT vec_id, label, u.pos, u.x FROM (
+           SELECT vec_id, label,
+             unnest(list_transform(embedding, (e, i) -> {'pos': i - 1, 'x': CAST(e AS DOUBLE)})) AS u
+           FROM embeddings))"""
+  private val centroidsSql =
+    """centroids AS (
+         SELECT label AS clabel, pos,
+           round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS c
+         FROM vexp GROUP BY label, pos)"""
+  private val scoresSql =
+    """scores AS (
+         SELECT v.vec_id, v.label, ct.clabel,
+           round(CAST(sum(CAST(v.x * ct.c AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
+         FROM vexp v JOIN centroids ct ON v.pos = ct.pos
+         GROUP BY v.vec_id, v.label, ct.clabel)"""
+  private val predsSql =
+    """preds AS (
+         SELECT vec_id, label, clabel AS pred, score FROM (
+           SELECT vec_id, label, clabel, score,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
+           FROM scores) WHERE rn = 1)"""
+  private val base = s"WITH $vexpSql,\n$centroidsSql"
+  private val full = s"$base,\n$scoresSql,\n$predsSql"
+
+  val all: Seq[Spec] = Seq(
+    // resize/normalize preprocessing → L2 normalization.
+    Spec("infer_preprocess",
+      (s, d) => t(s, d, "embeddings")
+        .withColumn("norm",
+          sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x)))
+        .select(
+          col("vec_id"), col("label"),
+          round(col("norm"), 6).as("l2_norm"),
+          transform(slice(col("embedding"), 1, 4), x => round(x.cast("double") / col("norm"), 6)).as("head4_unit"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, label,
+                round(norm, 6) AS l2_norm,
+                list_transform(list_slice(embedding, 1, 4),
+                  x -> round(CAST(x AS DOUBLE) / norm, 6)) AS head4_unit
+              FROM (
+                SELECT vec_id, label, embedding,
+                  sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+                FROM embeddings)
+              ORDER BY vec_id""")),
+
+    // "model fit" as a deterministic aggregation — per-label mean vectors.
+    Spec("infer_centroids",
+      (s, d) => centroids(s, d).orderBy("clabel", "pos"),
+      Some(s"""$base
+               SELECT clabel, pos, c FROM centroids ORDER BY clabel, pos""")),
+
+    // forward pass — broadcast the model, dot every vector against it.
+    Spec("infer_score",
+      (s, d) => scores(s, d).orderBy("vec_id", "clabel"),
+      Some(s"""$base,
+               $scoresSql
+               SELECT vec_id, label, clabel, score FROM scores
+               ORDER BY vec_id, clabel""")),
+
+    Spec("infer_argmax",
+      (s, d) => preds(s, d).orderBy("vec_id"),
+      Some(s"""$full
+               SELECT vec_id, label, pred, score FROM preds ORDER BY vec_id""")),
+
+    Spec("eval_accuracy",
+      (s, d) => preds(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        (sum(when(col("pred") === col("label"), 1L).otherwise(0L)) / count(lit(1))).as("accuracy")),
+      Some(s"""$full
+               SELECT count(*) AS n,
+                 sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
+                 (sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*)) AS accuracy
+               FROM preds""")),
+
+    Spec("eval_confusion",
+      (s, d) => preds(s, d)
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred"),
+      Some(s"""$full
+               SELECT label, pred, count(*) AS n FROM preds
+               GROUP BY label, pred ORDER BY label, pred""")),
+
+    // per-class precision/recall/F1 from filtered counts; divisions are
+    // identical IEEE ops on identical integers → bit-identical.
+    Spec("eval_per_class",
+      (s, d) => {
+        val p = preds(s, d)
+        val byLabel = p.groupBy(col("label").as("clazz"))
+          .agg(count(lit(1)).as("n_actual"),
+            sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+        val byPred = p.groupBy(col("pred").as("clazz"))
+          .agg(count(lit(1)).as("n_predicted"))
+        byLabel.join(byPred, Seq("clazz"), "full")
+          .select(
+            col("clazz"),
+            coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .withColumn("precision", col("tp") / nullif(col("n_predicted"), lit(0)))
+          .withColumn("recall", col("tp") / nullif(col("n_actual"), lit(0)))
+          .withColumn("f1",
+            lit(2.0) * col("precision") * col("recall") /
+              nullif(col("precision") + col("recall"), lit(0.0)))
+          .orderBy("clazz")
+      },
+      Some(s"""$full,
+               by_label AS (
+                 SELECT label AS clazz, count(*) AS n_actual,
+                   sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS tp
+                 FROM preds GROUP BY label),
+               by_pred AS (
+                 SELECT pred AS clazz, count(*) AS n_predicted FROM preds GROUP BY pred),
+               j AS (
+                 SELECT coalesce(l.clazz, p.clazz) AS clazz,
+                   CAST(coalesce(l.n_actual, 0) AS BIGINT) AS n_actual,
+                   CAST(coalesce(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+                   CAST(coalesce(l.tp, 0) AS BIGINT) AS tp
+                 FROM by_label l FULL JOIN by_pred p ON l.clazz = p.clazz)
+               SELECT clazz, n_actual, n_predicted, tp,
+                 (tp / nullif(n_predicted, 0)) AS precision,
+                 (tp / nullif(n_actual, 0)) AS recall,
+                 (2.0 * (tp / nullif(n_predicted, 0)) * (tp / nullif(n_actual, 0)) /
+                   nullif((tp / nullif(n_predicted, 0)) + (tp / nullif(n_actual, 0)), 0.0)) AS f1
+               FROM j ORDER BY clazz""")),
+
+    Spec("eval_topk_err",
+      (s, d) => preds(s, d)
+        .where(col("pred") =!= col("label"))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(20),
+      Some(s"""$full
+               SELECT vec_id, label, pred, score FROM preds
+               WHERE pred <> label
+               ORDER BY score DESC, vec_id LIMIT 20"""))
+  )
+
+  private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    when(c === v, lit(null)).otherwise(c)
+}
