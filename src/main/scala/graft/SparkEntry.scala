@@ -13,7 +13,8 @@ object SparkEntry {
   def specs: Seq[Spec] =
     ops.Rel.all ++ ops.Joins.all ++ ops.Aggs.all ++
       ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++
-      ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all
+      ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
+      ops.Streaming.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

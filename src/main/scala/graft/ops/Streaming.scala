@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 category I — Structured Streaming over `events`.
+  *
+  * Unlike the survey's conservative plan, most of these ARE oracle-checked:
+  * a Trigger.AvailableNow drain over fixed file-batches is deterministic,
+  * so each streaming result equals a relational expression DuckDB can run
+  * (tumbling/sliding bucket arithmetic, gaps-and-islands sessions, an
+  * explicit watermark-cutoff predicate, plain joins). Only semantics that
+  * exist purely operationally stay rows-only.
+  *
+  * Scale: identical query text runs on an unbounded source; state stores
+  * (window aggs, dedup keys, join buffers) are bounded by the watermarks
+  * declared here.
+  */
+object Streaming {
+  import Tables._
+
+  private def ev(s: SparkSession, d: String): DataFrame = events(s, d)
+
+  /** Far-future flush row (user_id = -1): pushes the watermark past all
+    * real data so append-mode windows emit; filtered out of results.
+    */
+  private def sentinel(s: SparkSession, d: String): DataFrame = {
+    val maxTs = ev(s, d).agg(max("ts")).head.getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    import s.implicits._
+    Seq((-1L, flushTs, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  private def schemaOf(s: SparkSession, d: String): StructType = ev(s, d).schema
+
+  /** Tumbling 5-minute bucket arithmetic — shared by stream + batch twin. */
+  private val bucketSql = "CAST(floor(epoch(ts) / 300) AS BIGINT) * 300"
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  val all: Seq[Spec] = Seq(
+    // Tumbling window agg, complete mode == batch aggregation.
+    Spec("stream_tumbling",
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete") { src =>
+        src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("ws"),
+            col("event_type"), col("n"), col("sum_value"))
+      }.orderBy("ws", "event_type"),
+      Some(s"""SELECT $bucketSql AS ws, event_type, count(*) AS n,
+                 ${msumSql("value")} AS sum_value
+               FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Batch twin of the same window expression (window() works in batch).
+    Spec("agg_window_tumbling_batch",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type"),
+      Some(s"""SELECT $bucketSql AS ws, event_type, count(*) AS n,
+                 ${msumSql("value")} AS sum_value
+               FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Sliding 10-min window, 5-min slide: every event lands in exactly 2
+    // windows (starts floor5(t) and floor5(t)-300).
+    Spec("stream_sliding",
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete") { src =>
+        src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
+      }.orderBy("ws", "event_type"),
+      Some(s"""SELECT $bucketSql - o.off AS ws, event_type, count(*) AS n
+               FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off) o
+               GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Session windows (5-min gap) per user; sentinel flushes open sessions.
+    // Oracle: gaps-and-islands (new session when diff >= gap — Spark's
+    // session end = last + gap is exclusive).
+    Spec("stream_session",
+      (s, d) => StreamRunner.run(s,
+        Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
+        schemaOf(s, d), "append") { src =>
+        src.withWatermark("ts", "1 second")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("ss_us"),
+            unix_micros(col("session_window.end")).as("se_us"), col("n"))
+      }.where(col("user_id") >= 0).orderBy("user_id", "ss_us"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+              dif AS (
+                SELECT user_id, tus,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+              g AS (
+                SELECT user_id, tus,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM dif)
+              SELECT user_id, min(tus) AS ss_us, max(tus) + 300000000 AS se_us,
+                count(*) AS n
+              FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
+
+    // Late-data drop: late set (event_id % 97 = 0) arrives AFTER the
+    // watermark advanced to max(on-time) - 10 min AND an intervening batch
+    // ran with that watermark. The empty batch matters: Spark evicts window
+    // state only at the end of a batch that RUNS with the advanced
+    // watermark — late rows merging into still-live state are accepted
+    // (verified empirically: without the empty batch, dropped=0; with it,
+    // dropped=104). A late row is dropped iff its window already closed
+    // (window_end <= watermark); the oracle states that cutoff predicate
+    // relationally.
+    Spec("stream_watermark_late",
+      (s, d) => {
+        val e = ev(s, d)
+        val onTime = e.where(col("event_id") % 97 =!= 0)
+        val late = e.where(col("event_id") % 97 === 0)
+        val evict = e.where(lit(false)) // empty batch → eviction pass only
+        // Sentinel exclusion happens on ws AFTER the drain: a pre-agg
+        // user_id filter would be pushed below the watermark node into the
+        // scan and the sentinel would never advance the watermark.
+        val maxRealSec = e.agg(max("ts")).head.getTimestamp(0).getTime / 1000
+        // trailing empty batch: the final windows only emit in a batch that
+        // RUNS with the sentinel-advanced watermark (a spontaneous no-data
+        // batch is not guaranteed).
+        StreamRunner.run(s, Seq(onTime, evict, late, sentinel(s, d), evict),
+          schemaOf(s, d), "append") { src =>
+          src.withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+            .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+        }.where(col("ws") <= maxRealSec).orderBy("ws")
+      },
+      Some(s"""WITH wm AS (
+                 SELECT max(epoch_us(ts)) - 600000000 AS w FROM events
+                 WHERE event_id % 97 <> 0),
+               kept AS (
+                 SELECT * FROM events
+                 WHERE event_id % 97 <> 0
+                    OR ($bucketSql + 300) * 1000000 > (SELECT w FROM wm))
+               SELECT $bucketSql AS ws, count(*) AS n
+               FROM kept GROUP BY ws ORDER BY ws""")),
+
+    // Exactly-once by key: duplicates (event_id % 100 = 0) re-injected in
+    // the same batch are dropped by state; final counts = distinct events.
+    Spec("stream_dedup",
+      (s, d) => {
+        val e = ev(s, d)
+        val withDups = e.unionAll(e.where(col("event_id") % 100 === 0))
+        StreamRunner.run(s, Seq(withDups), schemaOf(s, d), "complete") { src =>
+          src.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .groupBy("event_type").agg(count(lit(1)).as("n"))
+        }.orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Custom state machine: per-user running count via
+    // flatMapGroupsWithState across two micro-batches; update-mode sink
+    // keeps one emission per batch — final count is the max.
+    Spec("stream_stateful",
+      (s, d) => {
+        val e = ev(s, d)
+        val b1 = e.where(col("event_id") % 2 === 0)
+        val b2 = e.where(col("event_id") % 2 === 1)
+        val out = StreamRunner.run(s, Seq(b1, b2), schemaOf(s, d), "update") { src =>
+          import s.implicits._
+          src.as[Event]
+            .groupByKey(_.user_id)
+            .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+              (uid: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+                val total = state.getOption.getOrElse(0L) + rows.size
+                state.update(total)
+                Iterator((uid, total))
+            }
+            .toDF("user_id", "n_running")
+        }
+        out.groupBy("user_id").agg(max("n_running").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events FROM events
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Stream-stream interval join: purchases within 30 min after a click
+    // by the same user.
+    Spec("stream_stream_join",
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append") { src =>
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      }.orderBy("p_id", "c_id"),
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+              FROM events p JOIN events c
+                ON p.user_id = c.user_id
+               AND p.event_type = 'purchase' AND c.event_type = 'click'
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+              ORDER BY p_id, c_id"""))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Deterministic Structured-Streaming harness (SURVEY.md §2 cat. I).
+  *
+  * Re-feeds driver-controlled parquet batches through the file stream
+  * source (`maxFilesPerTrigger=1`, files ordered by modification time →
+  * one file per micro-batch, fixed batch boundaries), drains with
+  * Trigger.AvailableNow into an in-memory sink, and returns the sink table
+  * so streaming queries still satisfy the harness's
+  * `(SparkSession, sfDir) => DataFrame` contract.
+  *
+  * Determinism: batch CONTENT and ORDER are fixed by the caller, so
+  * watermark progression — and therefore late-row dropping and append-mode
+  * window emission — is reproducible run to run. Callers that need final
+  * windows flushed append a far-future sentinel row (filtered back out of
+  * the result) to push the watermark past all real data.
+  *
+  * At scale the same query text runs unchanged against a real unbounded
+  * source (kafka/files); only this test-feed plumbing is local-mode.
+  */
+object StreamRunner {
+  private val counter = new AtomicInteger(0)
+
+  /** Run `build(stream)` over the given file-batches, drain, return sink. */
+  def run(spark: SparkSession, batches: Seq[DataFrame], schema: StructType,
+          outputMode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_").toFile
+    tmp.deleteOnExit()
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val stage = new File(tmp, s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new File(tmp, f"batch$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(t0 + i * 60000L) // strict arrival order
+    }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.getPath)
+    val name = s"graft_sink_${counter.incrementAndGet()}"
+    val q = build(src).writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val prog = q.recentProgress
+    System.err.println(s"[stream] $name microbatches=${prog.length} " +
+      s"inputRows=${prog.map(_.numInputRows).mkString(",")}")
+    spark.table(name)
+  }
+}
