@@ -19,54 +19,45 @@ import org.apache.spark.sql.types._
 object LlmOps {
   import Tables._
 
-  /** Exploded (vec_id, label, pos, x:double) over embeddings. */
-  private def ve(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .withColumn("x", col("xf").cast("double")).drop("xf")
-
-  private def norms(s: SparkSession, d: String): DataFrame =
-    ve(s, d).groupBy("vec_id")
-      .agg(sqrt(sum((col("x") * col("x")).cast(DecimalType(30, 12))).cast(DoubleType)).as("nrm"))
-
-  /** Cosine of probe set (predicate on vec_id) vs all other vectors. */
+  /** Cosine of probe set (predicate on vec_id) vs all other vectors.
+    *
+    * Dot products as a zip_with + sequential fold over the two arrays:
+    * fully codegen'd double arithmetic, bit-identical to DuckDB's
+    * list_reduce (both fold left-to-right; Spark's 0.0 init is exact), and
+    * — unlike an explode + groupBy-on-pos shape — no shuffle at all: the
+    * bounded probe side broadcasts and each corpus row folds locally.
+    * That is the plan that survives 100 TB: scan ∥ broadcast ∥ fold.
+    */
   private def cosine(s: SparkSession, d: String, probePred: Column): DataFrame = {
-    val v = ve(s, d)
+    val normExpr = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normExpr)
     val p = v.where(probePred)
-      .select(col("vec_id").as("p_id"), col("pos"), col("x").as("px"))
-    val dots = p.join(v.select("vec_id", "pos", "x"), "pos")
-      .where(col("vec_id") =!= col("p_id"))
-      .groupBy("p_id", "vec_id")
-      .agg(sum((col("px") * col("x")).cast(DecimalType(30, 12))).cast(DoubleType).as("dot"))
-    val n = norms(s, d)
-    dots
-      .join(n.select(col("vec_id").as("p_id"), col("nrm").as("pn")), "p_id")
-      .join(n.select(col("vec_id"), col("nrm").as("vn")), "vec_id")
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"), col("nrm").as("pn"))
+    v.join(broadcast(p), col("vec_id") =!= col("p_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("p_emb"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, x) => a + x))
       .select(col("p_id"), col("vec_id"),
-        round(col("dot") / (col("pn") * col("vn")), 6).as("cosine"))
+        round(col("dot") / (col("pn") * col("nrm")), 6).as("cosine"))
   }
 
-  /** DuckDB CTE text mirroring [[cosine]]; `probePred` over ve.vec_id. */
+  /** DuckDB CTE text mirroring [[cosine]]; `probePred` over p.vec_id. */
   private def cosineSql(probePred: String): String =
-    s"""ve AS (
-          SELECT vec_id, label, u.pos, u.x FROM (
-            SELECT vec_id, label,
-              unnest(list_transform(embedding, (e, i) -> {'pos': i - 1, 'x': CAST(e AS DOUBLE)})) AS u
-            FROM embeddings)),
-        norms AS (
-          SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
-          FROM ve GROUP BY vec_id),
-        dots AS (
-          SELECT p.vec_id AS p_id, v.vec_id,
-            CAST(sum(CAST(p.x * v.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-          FROM ve p JOIN ve v ON p.pos = v.pos AND v.vec_id <> p.vec_id
-          WHERE $probePred
-          GROUP BY p.vec_id, v.vec_id),
+    s"""emb2 AS (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+          FROM embeddings),
         cosv AS (
-          SELECT d.p_id, d.vec_id, round(d.dot / (np.nrm * nv.nrm), 6) AS cosine
-          FROM dots d
-            JOIN norms np ON d.p_id = np.vec_id
-            JOIN norms nv ON d.vec_id = nv.vec_id)"""
+          SELECT p.vec_id AS p_id, v.vec_id,
+            round(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+              / (p.nrm * v.nrm), 6) AS cosine
+          FROM emb2 p JOIN emb2 v ON v.vec_id <> p.vec_id
+          WHERE $probePred)"""
 
   /** (doc_id, pos, token) token stream, shared CTE on the DuckDB side. */
   private def toks(s: SparkSession, d: String): DataFrame =

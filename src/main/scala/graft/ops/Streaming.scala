@@ -47,7 +47,8 @@ object Streaming {
   val all: Seq[Spec] = Seq(
     // Tumbling window agg, complete mode == batch aggregation.
     Spec("stream_tumbling",
-      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete") { src =>
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete",
+        cacheKey = s"single|$d") { src =>
         src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("ws"),
@@ -72,7 +73,8 @@ object Streaming {
     // Sliding 10-min window, 5-min slide: every event lands in exactly 2
     // windows (starts floor5(t) and floor5(t)-300).
     Spec("stream_sliding",
-      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete") { src =>
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete",
+        cacheKey = s"single|$d") { src =>
         src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
@@ -87,7 +89,7 @@ object Streaming {
     Spec("stream_session",
       (s, d) => StreamRunner.run(s,
         Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
-        schemaOf(s, d), "append") { src =>
+        schemaOf(s, d), "append", cacheKey = s"session|$d") { src =>
         src.withWatermark("ts", "1 second")
           .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -134,7 +136,7 @@ object Streaming {
         // RUNS with the sentinel-advanced watermark (a spontaneous no-data
         // batch is not guaranteed).
         StreamRunner.run(s, Seq(onTime, evict, late, sentinel(s, d), evict),
-          schemaOf(s, d), "append") { src =>
+          schemaOf(s, d), "append", cacheKey = s"wml|$d") { src =>
           src.withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
             .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
@@ -156,7 +158,8 @@ object Streaming {
       (s, d) => {
         val e = ev(s, d)
         val withDups = e.unionAll(e.where(col("event_id") % 100 === 0))
-        StreamRunner.run(s, Seq(withDups), schemaOf(s, d), "complete") { src =>
+        StreamRunner.run(s, Seq(withDups), schemaOf(s, d), "complete",
+          cacheKey = s"dedup|$d") { src =>
           src.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark("event_id")
             .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -194,7 +197,8 @@ object Streaming {
     // Stream-stream interval join: purchases within 30 min after a click
     // by the same user.
     Spec("stream_stream_join",
-      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append") { src =>
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append",
+        cacheKey = s"single|$d") { src =>
         val clicks = src.where(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "2 hours")
