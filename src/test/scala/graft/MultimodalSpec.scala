@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary plumbing: schema, decode-stub determinism, pooled
+  * feature shape, and the `binaryFile` raw-media ingestion source.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("corpus schema: opaque binary payload + typed metadata struct") {
+    val c = ops.Multimodal.corpus(spark, sf)
+    val sc = c.schema
+    assert(sc("payload").dataType.typeName == "binary")
+    assert(sc("meta").dataType.typeName == "struct")
+    assert(c.select("meta.width", "meta.height", "meta.channels").count() > 0)
+  }
+
+  test("decode stub is deterministic and normalized to [0,1]") {
+    val bytes = "hello media".getBytes("UTF-8")
+    val a = ops.Multimodal.decodeStub(bytes)
+    val b = ops.Multimodal.decodeStub(bytes)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(v => v >= 0.0f && v <= 1.0f))
+  }
+
+  test("resize pool emits fixed-size feature vectors for any input length") {
+    for (n <- Seq(1, 7, 64, 1000)) {
+      val px = Array.tabulate(n)(i => (i % 255) / 255.0f)
+      assert(ops.Multimodal.resizePool(px, 8).length == 8)
+    }
+  }
+
+  test("feature extraction: one feature row per media record, 8-d pooled vec") {
+    val feats = ops.Multimodal.extractFeatures(spark, sf)
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(feats.count() == docs)
+    assert(feats.where(size(col("feat")) =!= 8).count() == 0)
+    assert(feats.where(col("mean_px") < 0 || col("mean_px") > 1).count() == 0)
+  }
+
+  test("binaryFile source ingests raw media files with path + length + bytes") {
+    val dir = Files.createTempDirectory("graft_media_").toFile
+    dir.deleteOnExit()
+    for (i <- 0 until 5) {
+      val f = new java.io.File(dir, s"img_$i.bin")
+      Files.write(f.toPath, Array.tabulate[Byte](16 + i)(j => (i * 16 + j).toByte))
+    }
+    val df = spark.read.format("binaryFile").load(dir.getPath)
+    assert(df.count() == 5)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // decode the ingested bytes through the same stub pipeline
+    val decoded = df.select(col("path"), col("content")).collect()
+      .map(r => ops.Multimodal.decodeStub(r.getAs[Array[Byte]]("content")))
+    assert(decoded.forall(_.nonEmpty))
+  }
+}
