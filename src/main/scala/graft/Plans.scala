@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain(formatted)` for selected declared queries
+  * so scan pruning (ReadSchema), predicate pushdown (PushedFilters), join
+  * strategies, and WholeStageCodegen spans can be inspected. Run:
+  *   sbt "runMain graft.Plans [query ...]"
+  */
+object Plans {
+  val defaults = Seq(
+    "scan_prune", "scan_pushdown", "join_inner_broadcast", "join_inner_shuffle",
+    "join_multiway_star", "agg_groupby", "win_running_sum", "topk_global",
+    "sim_cosine_topk", "infer_score", "text_tokenize")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    val d = "/root/testdata/sf0.01"
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}
