@@ -99,6 +99,12 @@ object Inference {
   private val base = s"WITH $vexpSql,\n$centroidsSql"
   private val full = s"$base,\n$scoresSql,\n$predsSql"
 
+  /** The centroid→score→pred CTE chain (without leading WITH) for reuse by
+    * other oracle queries (e.g. IVF-style cluster-pruned search).
+    */
+  val predsCtesSql: String =
+    s"$vexpSql,\n$centroidsSql,\n$scoresSql,\n$predsSql"
+
   val all: Seq[Spec] = Seq(
     // resize/normalize preprocessing → L2 normalization.
     Spec("infer_preprocess",
