@@ -256,6 +256,43 @@ object LlmOps2 {
                  FROM emb3 p JOIN emb3 v
                    ON v.pred = p.pred AND v.vec_id <> p.vec_id
                  WHERE p.vec_id < 5) WHERE rnk <= 3
-               ORDER BY p_id, rnk"""))
+               ORDER BY p_id, rnk""")),
+
+    // Cosine top-k driven by the native codegen'd Catalyst expression
+    // (graft.functions.DotProductExpr) instead of the HOF chain — same
+    // sequential-fold numerics, one tight generated loop per row.
+    Spec("sim_dot_native",
+      (s, d) => {
+        graft.functions.DotProductExpr.register(s)
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
+        val p = v.where(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"), col("nrm").as("pn"))
+        val w = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        v.join(broadcast(p), col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"),
+            round(expr("dot_product(p_emb, embedding)") / (col("pn") * col("nrm")), 6).as("cosine"))
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+          .select("p_id", "rnk", "vec_id", "cosine")
+          .orderBy("p_id", "rnk")
+      },
+      Some("""WITH emb2 AS (
+                SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+                FROM embeddings)
+              SELECT p_id, rnk, vec_id, cosine FROM (
+                SELECT p.vec_id AS p_id, v.vec_id,
+                  round(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+                    / (p.nrm * v.nrm), 6) AS cosine,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY round(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                        q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+                      / (p.nrm * v.nrm), 6) DESC, v.vec_id) AS rnk
+                FROM emb2 p JOIN emb2 v ON v.vec_id <> p.vec_id
+                WHERE p.vec_id >= 5 AND p.vec_id < 10) WHERE rnk <= 5
+              ORDER BY p_id, rnk"""))
   )
 }
