@@ -53,24 +53,7 @@ object InferMapPartitions {
     // in sub-rounding float details, far from any argmax tie).
     Spec("infer_mapp_argmax",
       (s, d) => scoreMapPartitions(s, d).orderBy("vec_id"),
-      Some("""WITH vexp AS (
-                SELECT vec_id, label, u.pos, u.x FROM (
-                  SELECT vec_id, label,
-                    unnest(list_transform(embedding, (e, i) -> {'pos': i - 1, 'x': CAST(e AS DOUBLE)})) AS u
-                  FROM embeddings)),
-              centroids AS (
-                SELECT label AS clabel, pos,
-                  round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS c
-                FROM vexp GROUP BY label, pos),
-              scores AS (
-                SELECT v.vec_id, v.label, ct.clabel,
-                  round(CAST(sum(CAST(v.x * ct.c AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
-                FROM vexp v JOIN centroids ct ON v.pos = ct.pos
-                GROUP BY v.vec_id, v.label, ct.clabel)
-              SELECT vec_id, label, pred FROM (
-                SELECT vec_id, label, clabel AS pred, score,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
-                FROM scores) WHERE rn = 1
-              ORDER BY vec_id"""))
+      Some(s"""WITH ${Inference.predsCtesSql}
+               SELECT vec_id, label, pred FROM preds ORDER BY vec_id"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Spec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -44,12 +44,21 @@ object Inference {
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .withColumn("x", col("xf").cast("double")).drop("xf")
 
+  // Exact order-free sums on the hot path use scaled integers — floor(v·1e12)
+  // as BIGINT — instead of DECIMAL(30,_): same determinism guarantee (floor
+  // of the identical double is identical on both engines; long sums are
+  // exact), but native-long aggregation instead of the BigDecimal slow path.
+  // Magnitudes are bounded (|x|,|x·c| < 1, ≤ thousands of terms per group),
+  // so the scaled sums stay far below 2^63.
+  private def scaledSum(c: Column): Column =
+    sum(floor(c * lit(1.0e12)).cast(LongType)).cast(DoubleType) / lit(1.0e12)
+
   /** Per-label mean vector, long form (clabel, pos, c) — the "model". */
   def centroids(s: SparkSession, d: String): DataFrame =
     cached(s, d, "centroids") {
       vexp(s, d)
         .groupBy(col("label").as("clabel"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1))).as("cm"))
+        .agg((scaledSum(col("x")) / count(lit(1))).as("cm"))
         .select(col("clabel"), col("pos"), round(col("cm"), 6).as("c"))
     }
 
@@ -59,7 +68,7 @@ object Inference {
       vexp(s, d)
         .join(broadcast(centroids(s, d)), "pos")
         .groupBy("vec_id", "label", "clabel")
-        .agg(round(sum((col("x") * col("c")).cast(DecimalType(30, 12))).cast(DoubleType), 6).as("score"))
+        .agg(round(scaledSum(col("x") * col("c")), 6).as("score"))
     }
 
   /** Predictions: argmax score per vector, ties to lowest label. */
@@ -82,12 +91,14 @@ object Inference {
   private val centroidsSql =
     """centroids AS (
          SELECT label AS clabel, pos,
-           round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS c
+           round(CAST(sum(CAST(floor(x * 1.0e12) AS BIGINT)) AS DOUBLE) / 1.0e12
+             / count(*), 6) AS c
          FROM vexp GROUP BY label, pos)"""
   private val scoresSql =
     """scores AS (
          SELECT v.vec_id, v.label, ct.clabel,
-           round(CAST(sum(CAST(v.x * ct.c AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
+           round(CAST(sum(CAST(floor((v.x * ct.c) * 1.0e12) AS BIGINT)) AS DOUBLE)
+             / 1.0e12, 6) AS score
          FROM vexp v JOIN centroids ct ON v.pos = ct.pos
          GROUP BY v.vec_id, v.label, ct.clabel)"""
   private val predsSql =
