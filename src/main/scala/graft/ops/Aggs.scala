@@ -204,6 +204,25 @@ object Aggs {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type"),
-      None)
+      None),
+
+    // Pivot (wide-format aggregation): explicit value list keeps the column
+    // set static; pivot's empty cells are null → coalesce to 0 to match the
+    // relational conditional-count oracle.
+    Spec("agg_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = t(s, d, "events")
+          .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+        wide.select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+              FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

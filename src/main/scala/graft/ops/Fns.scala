@@ -257,6 +257,32 @@ object Fns {
                     FROM documents)
               ORDER BY doc_id, pos""")),
 
+    // Scala UDF surface: a registered deterministic UDF (the 31-ary rolling
+    // hash — pure integer arithmetic, same result as the SQL fold). UDFs
+    // are the escape hatch of last resort (no codegen, JVM call per row);
+    // declared once to cover the surface, with the codegen'd alternative
+    // (aggregate HOF / custom Expression) used everywhere else.
+    Spec("fn_udf_scala",
+      (s, d) => {
+        val rollHash = udf { text: String =>
+          var acc = 0L
+          var i = 0
+          while (i < text.length) { acc = (acc * 31 + text.charAt(i).toLong) % 1073741824L; i += 1 }
+          acc
+        }
+        s.udf.register("roll_hash", rollHash)
+        t(s, d, "documents")
+          .select(col("doc_id"), rollHash(col("text")).as("fp_udf"),
+            expr("roll_hash(substring(text, 1, 16))").as("fp_prefix_udf"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                list_reduce(list_transform(string_split_regex(text, ''),
+                  ch -> CAST(ord(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % 1073741824) AS fp_udf,
+                list_reduce(list_transform(string_split_regex(substring(text, 1, 16), ''),
+                  ch -> CAST(ord(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % 1073741824) AS fp_prefix_udf
+              FROM documents ORDER BY doc_id""")),
+
     Spec("fn_struct_nested",
       (s, d) => t(s, d, "documents")
         .withColumn("s", struct(col("lang").as("lang"), col("n_chars").as("n")))

@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TestSpark {
   val sf = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse_")
     val s = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
