@@ -46,7 +46,7 @@ object SetOps {
               ORDER BY nationkey""")),
 
     // Bag semantics: INTERSECT ALL ∪all EXCEPT ALL, tagged.
-    Spec("set_bag_ops",
+    Spec("set_intersect_all",
       (s, d) => {
         val i = custKeys(s, d).intersectAll(suppKeys(s, d)).withColumn("op", lit("intersect_all"))
         val e = custKeys(s, d).exceptAll(suppKeys(s, d)).withColumn("op", lit("except_all"))

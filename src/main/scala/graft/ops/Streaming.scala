@@ -25,12 +25,17 @@ object Streaming {
 
   private def ev(s: SparkSession, d: String): DataFrame = events(s, d)
 
+  private val maxTsCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.sql.Timestamp]
+  private def maxTs(s: SparkSession, d: String): java.sql.Timestamp =
+    maxTsCache.getOrElseUpdate(s.hashCode() + "|" + d,
+      ev(s, d).agg(max("ts")).head.getTimestamp(0))
+
   /** Far-future flush row (user_id = -1): pushes the watermark past all
     * real data so append-mode windows emit; filtered out of results.
     */
   private def sentinel(s: SparkSession, d: String): DataFrame = {
-    val maxTs = ev(s, d).agg(max("ts")).head.getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    val flushTs = new java.sql.Timestamp(maxTs(s, d).getTime + 24L * 3600 * 1000)
     import s.implicits._
     Seq((-1L, flushTs, -1L, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -131,7 +136,7 @@ object Streaming {
         // Sentinel exclusion happens on ws AFTER the drain: a pre-agg
         // user_id filter would be pushed below the watermark node into the
         // scan and the sentinel would never advance the watermark.
-        val maxRealSec = e.agg(max("ts")).head.getTimestamp(0).getTime / 1000
+        val maxRealSec = maxTs(s, d).getTime / 1000
         // trailing empty batch: the final windows only emit in a batch that
         // RUNS with the sentinel-advanced watermark (a spontaneous no-data
         // batch is not guaranteed).

@@ -64,7 +64,7 @@ class OperatorInvariantsSpec extends AnyFunSuite {
   }
 
   test("bag semantics: intersectAll + exceptAll re-partition the customer bag") {
-    val bag = q("set_bag_ops")
+    val bag = q("set_intersect_all")
     val customers = Tables.t(spark, sf, "customer").count()
     assert(bag.count() == customers) // |A ∩all B| + |A ∖all B| = |A|
   }
