@@ -4,7 +4,8 @@ import graft.{Spec, Tables}
 import graft.streaming.StreamRunner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2 category I — Structured Streaming over `events`.
@@ -48,6 +49,21 @@ object Streaming {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
+
+  /** Spark 4 arbitrary-state API (transformWithState): per-user running
+    * count kept in a typed ValueState, emitted each micro-batch.
+    */
+  final class RunningCountProcessor extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val total = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(total)
+      Iterator((key, total))
+    }
+  }
 
   val all: Seq[Spec] = Seq(
     // Tumbling window agg, complete mode == batch aggregation.
@@ -195,6 +211,39 @@ object Streaming {
         }
         out.groupBy("user_id").agg(max("n_running").as("n_events"))
           .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events FROM events
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Same semantics through Spark 4's transformWithState (typed ValueState
+    // + StatefulProcessor, RocksDB state store — the modern replacement for
+    // flatMapGroupsWithState).
+    Spec("stream_stateful_tws",
+      (s, d) => {
+        val e = ev(s, d)
+        val b1 = e.where(col("event_id") % 2 === 0)
+        val b2 = e.where(col("event_id") % 2 === 1)
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
+            cacheKey = s"stateful|$d") { src =>
+            import s.implicits._
+            src.as[Event]
+              .groupByKey(_.user_id)
+              .transformWithState(new RunningCountProcessor, TimeMode.None(),
+                OutputMode.Update(), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+              .toDF("user_id", "n_running")
+          }
+          out.groupBy("user_id").agg(max("n_running").as("n_events"))
+            .orderBy("user_id")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
       },
       Some("""SELECT user_id, count(*) AS n_events FROM events
               GROUP BY user_id ORDER BY user_id""")),
