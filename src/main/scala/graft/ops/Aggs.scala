@@ -206,6 +206,23 @@ object Aggs {
         .orderBy("event_type"),
       None),
 
+    // Exact interpolated percentiles: both engines sort within the group
+    // and linearly interpolate at p·(n-1) — same definition
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`), rounded as insurance.
+    Spec("agg_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+                round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Pivot (wide-format aggregation): explicit value list keeps the column
     // set static; pivot's empty cells are null → coalesce to 0 to match the
     // relational conditional-count oracle.
