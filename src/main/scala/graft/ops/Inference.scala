@@ -18,8 +18,8 @@ import org.apache.spark.sql.types._
   * against this SQL-shaped path in the test suite.
   *
   * Determinism: float32 elements are cast to double (exact); per-(label,pos)
-  * means use exact decimal sums; dot-product terms are cast to
-  * DECIMAL(30,12) before summing (order-free) and scores rounded to 6.
+  * means and dot products sum floor-scaled integers (exact, order-free —
+  * see [[scaledSum]]) and are rounded to 6 decimals.
   *
   * Scale: centroids are O(labels × dim) — tiny, always broadcastable; the
   * scoring join explodes vectors once and hash-aggregates; at 100 TB the
@@ -36,7 +36,7 @@ object Inference {
   // tiny (≤ vectors × labels rows).
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def cached(s: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(s.hashCode() + "|" + d + "|" + key, mk.persist())
+    cache.getOrElseUpdate(s"${s.hashCode()}|$d|$key", mk.persist())
 
   /** Exploded (vec_id, label, pos, x) with x as exact double. */
   private def vexp(s: SparkSession, d: String): DataFrame =

@@ -26,7 +26,8 @@ object Salting {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
-    val l = large.withColumn("_salt", withSalt(large, buckets, large.columns.map(col): _*))
+    val l = large.withColumn("_salt",
+      withSalt(large, buckets, large.columns.toIndexedSeq.map(col): _*))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }

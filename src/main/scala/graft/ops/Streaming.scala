@@ -29,8 +29,8 @@ object Streaming {
   private val maxTsCache =
     scala.collection.concurrent.TrieMap.empty[String, java.sql.Timestamp]
   private def maxTs(s: SparkSession, d: String): java.sql.Timestamp =
-    maxTsCache.getOrElseUpdate(s.hashCode() + "|" + d,
-      ev(s, d).agg(max("ts")).head.getTimestamp(0))
+    maxTsCache.getOrElseUpdate(s"${s.hashCode()}|$d",
+      ev(s, d).agg(max("ts")).head().getTimestamp(0))
 
   /** Far-future flush row (user_id = -1): pushes the watermark past all
     * real data so append-mode windows emit; filtered out of results.

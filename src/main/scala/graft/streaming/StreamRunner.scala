@@ -54,7 +54,7 @@ object StreamRunner {
           outputMode: String, cacheKey: String = "")(build: DataFrame => DataFrame): DataFrame = {
     val tmp =
       if (cacheKey.isEmpty) writeBatches(batches)
-      else dirCache.getOrElseUpdate(spark.hashCode() + "|" + cacheKey, writeBatches(batches))
+      else dirCache.getOrElseUpdate(s"${spark.hashCode()}|$cacheKey", writeBatches(batches))
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp.getPath)
