@@ -277,10 +277,14 @@ object Fns {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-                list_reduce(list_transform(string_split_regex(text, ''),
-                  ch -> CAST(ord(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % 1073741824) AS fp_udf,
-                list_reduce(list_transform(string_split_regex(substring(text, 1, 16), ''),
-                  ch -> CAST(ord(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % 1073741824) AS fp_prefix_udf
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+                    ch -> CAST(ord(ch) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1073741824) AS fp_udf,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(string_split_regex(substring(text, 1, 16), ''), ch -> ch <> ''),
+                    ch -> CAST(ord(ch) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1073741824) AS fp_prefix_udf
               FROM documents ORDER BY doc_id""")),
 
     Spec("fn_struct_nested",

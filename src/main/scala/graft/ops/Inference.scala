@@ -35,8 +35,14 @@ object Inference {
   // instead of recomputing the explode+aggregate chain. Cached frames are
   // tiny (≤ vectors × labels rows).
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def cached(s: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(s"${s.hashCode()}|$d|$key", mk.persist())
+  private def cached(s: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame = {
+    val k = s"${s.hashCode()}|$d|$key"
+    val df = cache.getOrElseUpdate(k, mk.persist())
+    // identity-hash keys can collide after a session is GC'd/stopped:
+    // validate the cached frame still belongs to THIS session.
+    if (df.sparkSession eq s) df
+    else { val fresh = mk.persist(); cache.update(k, fresh); fresh }
+  }
 
   /** Exploded (vec_id, label, pos, x) with x as exact double. */
   private def vexp(s: SparkSession, d: String): DataFrame =

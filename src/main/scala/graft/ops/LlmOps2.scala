@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
 object LlmOps2 {
   import Tables._
 
-  /** Spark SQL text of the rolling char hash of expression `e`. */
+  /** Spark SQL text of the rolling char hash of expression `e`.
+    * Empty-char filtering + an explicit 0 seed make the two engines agree
+    * on empty strings too (DuckDB's ord('') is -1 while Spark's ascii('')
+    * is 0, and list_reduce has no init — both differences are neutralized
+    * by filtering '' out and prepending the 0 seed on the DuckDB side).
+    */
   private def rollhash(e: String): String =
-    s"aggregate(split($e, ''), CAST(0 AS BIGINT), (acc, ch) -> (acc * 31 + ascii(ch)) % 1073741824)"
-  /** DuckDB equivalent (list_reduce's first element seeds the fold). */
+    s"""aggregate(filter(split($e, ''), ch -> ch != ''), CAST(0 AS BIGINT),
+          (acc, ch) -> (acc * 31 + ascii(ch)) % 1073741824)"""
+  /** DuckDB equivalent of [[rollhash]] (0-seed via list_prepend). */
   private def rollhashSql(e: String): String =
-    s"""list_reduce(list_transform(string_split_regex($e, ''),
-          ch -> CAST(ord(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % 1073741824)"""
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split_regex($e, ''), ch -> ch <> ''),
+            ch -> CAST(ord(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1073741824)"""
 
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")

@@ -82,7 +82,7 @@ object Multimodal {
         it.map { r =>
           val px = decodeStub(r.payload)
           val pooled = resizePool(px, 8)
-          var sum = 0.0; var mx = Double.MinValue
+          var sum = 0.0; var mx = 0.0
           var bsum = 0L
           var i = 0
           while (i < px.length) {
@@ -90,8 +90,9 @@ object Multimodal {
             bsum += (r.payload(i) & 0xff)
             i += 1
           }
-          MediaFeatures(r.doc_id, px.length.toLong, bsum,
-            sum / px.length, mx, pooled.toSeq)
+          // empty payload → zeroed features (no NaN mean / -Inf max)
+          val mean = if (px.length == 0) 0.0 else sum / px.length
+          MediaFeatures(r.doc_id, px.length.toLong, bsum, mean, mx, pooled.toSeq)
         }
       }
       .toDF()

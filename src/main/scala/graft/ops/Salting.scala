@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Add a `_salt` column in [0, buckets) derived from `from` columns. */
-  def withSalt(df: DataFrame, buckets: Int, from: Column*): Column =
+  /** A `_salt` value in [0, buckets) derived from the given columns. Salt
+    * from as many row columns as possible: hashing only a low-cardinality
+    * column would collapse a hot key's rows into one bucket and defeat the
+    * rewrite.
+    */
+  def saltOf(buckets: Int, from: Column*): Column =
     pmod(hash(from: _*), lit(buckets))
 
   /** Salted equi-join: `large` (skewed) joins `small` on `key`; the small
@@ -27,17 +31,18 @@ object Salting {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
     val l = large.withColumn("_salt",
-      withSalt(large, buckets, large.columns.toIndexedSeq.map(col): _*))
+      saltOf(buckets, large.columns.toIndexedSeq.map(col): _*))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }
 
   /** Two-phase salted aggregation: partial aggregate on (key, salt), then
-    * final aggregate on key — the classic skewed-groupBy rewrite.
+    * final aggregate on key — the classic skewed-groupBy rewrite. The salt
+    * hashes ALL columns so even constant-valued hot keys spread.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", withSalt(df, buckets, col(valueCol)))
+    df.withColumn("_salt", saltOf(buckets, df.columns.toIndexedSeq.map(col): _*))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -197,7 +197,9 @@ object Streaming {
         val e = ev(s, d)
         val b1 = e.where(col("event_id") % 2 === 0)
         val b2 = e.where(col("event_id") % 2 === 1)
-        val out = StreamRunner.run(s, Seq(b1, b2), schemaOf(s, d), "update") { src =>
+        // shares the batch layout (and memoized files) with stream_stateful_tws
+        val out = StreamRunner.run(s, Seq(b1, b2), schemaOf(s, d), "update",
+          cacheKey = s"stateful|$d") { src =>
           import s.implicits._
           src.as[Event]
             .groupByKey(_.user_id)
