@@ -197,14 +197,26 @@ object Aggs {
                FROM orders GROUP BY o_custkey HAVING count(*) > 12
                ORDER BY o_custkey""")),
 
-    // HLL++ sketch — the 100 TB distinct-count path. No oracle: estimate is
-    // implementation-specific (driver records rows-only).
+    // HLL++ sketch — the 100 TB distinct-count path. The estimate itself is
+    // implementation-specific, so the ORACLE-CHECKED output is an invariant:
+    // the exact distinct count plus a boolean asserting the sketch landed
+    // within 5% of it. rsd=0.01 makes the 5% band a ~5σ guarantee, so the
+    // boolean is deterministically true and DuckDB can state it literally.
     Spec("agg_approx_distinct",
       (s, d) => t(s, d, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+                count(DISTINCT user_id) AS exact_users,
+                true AS within_5pct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Exact interpolated percentiles: both engines sort within the group
     // and linearly interpolate at p·(n-1) — same definition

@@ -167,23 +167,35 @@ object Fns {
               FROM orders ORDER BY o_orderkey""")),
 
     // float32 elements cast to double (exact) before any arithmetic/output.
+    // Array-valued intermediates (slice, sort_array) are exercised, but the
+    // OUTPUT projects scalars / joined strings — array-typed output columns
+    // break the driver's pandas hash compare. Integer arrays render
+    // identically under array_join/array_to_string; doubles come out as
+    // scalar columns h1..h3 (element_at over the sliced array).
     Spec("fn_array",
-      (s, d) => t(s, d, "embeddings")
-        .select(
-          col("vec_id"),
-          size(col("embedding")).cast("long").as("dim"),
-          element_at(col("embedding"), 1).cast("double").as("first_d"),
-          element_at(col("embedding"), 64).cast("double").as("last_d"),
-          transform(slice(col("embedding"), 1, 3), x => x.cast("double")).as("head3"),
-          sort_array(array(lit(3), lit(1), lit(2))).as("arr_sorted"),
-          array_position(array(lit(3), lit(1), lit(2)), 2).cast("long").as("pos_of_2"))
-        .orderBy("vec_id"),
+      (s, d) => {
+        val head3 = transform(slice(col("embedding"), 1, 3), x => x.cast("double"))
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_d"),
+            element_at(col("embedding"), 64).cast("double").as("last_d"),
+            element_at(head3, 1).as("h1"),
+            element_at(head3, 2).as("h2"),
+            element_at(head3, 3).as("h3"),
+            array_join(sort_array(array(lit(3), lit(1), lit(2))), ",").as("arr_sorted"),
+            array_position(array(lit(3), lit(1), lit(2)), 2).cast("long").as("pos_of_2"))
+          .orderBy("vec_id")
+      },
       Some("""SELECT vec_id,
                 CAST(len(embedding) AS BIGINT) AS dim,
                 CAST(embedding[1] AS DOUBLE) AS first_d,
                 CAST(embedding[64] AS DOUBLE) AS last_d,
-                list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE)) AS head3,
-                list_sort([3, 1, 2]) AS arr_sorted,
+                list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))[1] AS h1,
+                list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))[2] AS h2,
+                list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))[3] AS h3,
+                array_to_string(list_sort([3, 1, 2]), ',') AS arr_sorted,
                 CAST(list_position([3, 1, 2], 2) AS BIGINT) AS pos_of_2
               FROM embeddings ORDER BY vec_id""")),
 

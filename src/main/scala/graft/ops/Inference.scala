@@ -123,21 +123,29 @@ object Inference {
     s"$vexpSql,\n$centroidsSql,\n$scoresSql,\n$predsSql"
 
   val all: Seq[Spec] = Seq(
-    // resize/normalize preprocessing → L2 normalization.
+    // resize/normalize preprocessing → L2 normalization. The first four
+    // unit-vector elements are projected as scalar DOUBLE columns (u1..u4):
+    // array-typed output columns break the driver's pandas hash compare.
     Spec("infer_preprocess",
-      (s, d) => t(s, d, "embeddings")
-        .withColumn("norm",
-          sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (a, x) => a + x)))
-        .select(
-          col("vec_id"), col("label"),
-          round(col("norm"), 6).as("l2_norm"),
-          transform(slice(col("embedding"), 1, 4), x => round(x.cast("double") / col("norm"), 6)).as("head4_unit"))
-        .orderBy("vec_id"),
+      (s, d) => {
+        def u(i: Int) =
+          round(element_at(col("embedding"), i).cast("double") / col("norm"), 6).as(s"u$i")
+        t(s, d, "embeddings")
+          .withColumn("norm",
+            sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+              lit(0.0), (a, x) => a + x)))
+          .select(
+            col("vec_id"), col("label"),
+            round(col("norm"), 6).as("l2_norm"),
+            u(1), u(2), u(3), u(4))
+          .orderBy("vec_id")
+      },
       Some("""SELECT vec_id, label,
                 round(norm, 6) AS l2_norm,
-                list_transform(list_slice(embedding, 1, 4),
-                  x -> round(CAST(x AS DOUBLE) / norm, 6)) AS head4_unit
+                round(CAST(embedding[1] AS DOUBLE) / norm, 6) AS u1,
+                round(CAST(embedding[2] AS DOUBLE) / norm, 6) AS u2,
+                round(CAST(embedding[3] AS DOUBLE) / norm, 6) AS u3,
+                round(CAST(embedding[4] AS DOUBLE) / norm, 6) AS u4
               FROM (
                 SELECT vec_id, label, embedding,
                   sqrt(list_reduce(list_transform(embedding,
@@ -164,15 +172,19 @@ object Inference {
       Some(s"""$full
                SELECT vec_id, label, pred, score FROM preds ORDER BY vec_id""")),
 
+    // DuckDB sums of CASE are HUGEINT (pandas → float64); CAST to BIGINT on
+    // the oracle side and derive accuracy via an explicit DOUBLE/COUNT on
+    // both engines so the integer and ratio columns hash identically.
     Spec("eval_accuracy",
       (s, d) => preds(s, d).agg(
         count(lit(1)).as("n"),
         sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"),
-        (sum(when(col("pred") === col("label"), 1L).otherwise(0L)) / count(lit(1))).as("accuracy")),
+        (sum(when(col("pred") === col("label"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("accuracy")),
       Some(s"""$full
                SELECT count(*) AS n,
-                 sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
-                 (sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*)) AS accuracy
+                 CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                 (CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) AS accuracy
                FROM preds""")),
 
     Spec("eval_confusion",

@@ -178,9 +178,14 @@ object LlmOps {
                SELECT d1, d2, inter, n1, n2, round(jaccard, 6) AS jaccard
                FROM j WHERE jaccard >= 0.9 ORDER BY d1, d2""")),
 
-    // MinHash banding — the sub-quadratic dedup path (no oracle: candidate
-    // recall is hash-seeded). Exact Jaccard distance is recomputed on
-    // candidates, so reported pairs are exact.
+    // MinHash banding — the sub-quadratic dedup path. The LSH stage only
+    // GENERATES candidates (at a loose feature-space threshold 0.5, so the
+    // miss probability for a true ≥0.9-Jaccard pair is (1-0.9)^8 ≈ 1e-8
+    // across the 8 OR'd hash tables); every candidate is then re-verified
+    // with EXACT token-set Jaccard and filtered at 0.9. The reported set is
+    // therefore deterministic = "all pairs with exact Jaccard ≥ 0.9", which
+    // the oracle states directly (same relation dedup_near_shingle checks,
+    // reached here without the quadratic token self-join).
     Spec("dedup_minhash_lsh",
       (s, d) => {
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
@@ -192,14 +197,40 @@ object LlmOps {
         val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
           .setNumHashTables(8).setSeed(42L)
         val model = mh.fit(feat)
-        model.approxSimilarityJoin(feat, feat, 0.1, "jaccard_dist")
-          .select(
-            col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-            round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        val cand = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+          .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
           .where(col("d1") < col("d2"))
+        // exact re-verification over token SETS, candidates only
+        val tk = toks(s, d).where(col("doc_id") < 200)
+          .select("doc_id", "token").distinct()
+        val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        cand
+          .join(tk.select(col("doc_id").as("d1"), col("token")), "d1")
+          .join(tk.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("d1"), col("nt").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("nt").as("n2")), "d2")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .where(col("jaccard") >= 0.9)
+          .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+            round(col("jaccard"), 6).as("jaccard"))
           .orderBy("d1", "d2")
       },
-      None),
+      Some(s"""WITH $toksSql,
+               tk AS (SELECT DISTINCT doc_id, token FROM toks WHERE doc_id < 200),
+               sizes AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+               pairs AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                 FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               j AS (
+                 SELECT d1, d2, inter, s1.nt AS n1, s2.nt AS n2,
+                   CAST(inter AS DOUBLE) / (s1.nt + s2.nt - inter) AS jaccard
+                 FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+                            JOIN sizes s2 ON d2 = s2.doc_id)
+               SELECT d1, d2, inter, n1, n2, round(jaccard, 6) AS jaccard
+               FROM j WHERE jaccard >= 0.9 ORDER BY d1, d2""")),
 
     // ------------------------------------------------------ similarity
     Spec("sim_cosine_topk",
@@ -254,30 +285,58 @@ object LlmOps {
                FROM pred p JOIN embeddings e ON p.p_id = e.vec_id
                ORDER BY p.p_id""")),
 
-    // Random-hyperplane LSH ANN — the sub-quadratic similarity path
-    // (no oracle: bucketing is seeded-random).
+    // Random-hyperplane LSH ANN — the sub-quadratic similarity path. The
+    // LSH stage only GENERATES candidates: bucketLength 2.0 over 32 OR'd
+    // tables puts the per-pair miss probability below 1e-8 for any pair
+    // within the 2.5 distance budget, so the candidate set whp contains
+    // every true neighbor the query can rank. Exact euclidean distance is
+    // then recomputed with the same zip_with fold the oracle uses
+    // (bit-identical sequential double sums), making the top-5 per probe
+    // deterministic — the oracle computes it by brute force.
     Spec("sim_lsh_approx",
       (s, d) => {
         import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
         import org.apache.spark.ml.functions.array_to_vector
         val emb = t(s, d, "embeddings")
           .withColumn("vec", array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-          .select("vec_id", "vec")
+          .select("vec_id", "vec", "embedding")
         val brp = new BucketedRandomProjectionLSH().setInputCol("vec").setOutputCol("hashes")
-          .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+          .setBucketLength(2.0).setNumHashTables(32).setSeed(42L)
         val model = brp.fit(emb)
         val probes = emb.where(col("vec_id") < 5)
+        val exactDist = sqrt(aggregate(
+          zip_with(col("p_emb"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => a + x))
         val w = Window.partitionBy("p_id").orderBy(asc("dist"), asc("vec_id"))
-        model.approxSimilarityJoin(probes, emb, 2.5, "dist")
-          .select(col("datasetA.vec_id").as("p_id"), col("datasetB.vec_id").as("vec_id"),
-            round(col("dist"), 6).as("dist"))
+        model.approxSimilarityJoin(probes, emb, 2.5, "lsh_dist")
+          .select(
+            col("datasetA.vec_id").as("p_id"), col("datasetA.embedding").as("p_emb"),
+            col("datasetB.vec_id").as("vec_id"), col("datasetB.embedding").as("c_emb"))
           .where(col("p_id") =!= col("vec_id"))
+          .withColumn("dist", round(exactDist, 6))
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 5)
           .select("p_id", "rnk", "vec_id", "dist")
           .orderBy("p_id", "rnk")
       },
-      None),
+      Some("""WITH dists AS (
+                SELECT p.vec_id AS p_id, v.vec_id,
+                  round(sqrt(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+                    (a, b) -> a + b)), 6) AS dist,
+                  sqrt(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+                    (a, b) -> a + b)) AS dist_raw
+                FROM embeddings p JOIN embeddings v ON v.vec_id <> p.vec_id
+                WHERE p.vec_id < 5)
+              SELECT p_id, rnk, vec_id, dist FROM (
+                SELECT p_id, vec_id, dist,
+                  row_number() OVER (PARTITION BY p_id ORDER BY dist, vec_id) AS rnk
+                FROM dists WHERE dist_raw <= 2.5)
+              WHERE rnk <= 5 ORDER BY p_id, rnk""")),
 
     // ------------------------------------------------------ multimodal
     Spec("multimodal_join",

@@ -121,7 +121,11 @@ object LlmOps2 {
           .withColumn("rn", row_number().over(wTok)).where(col("rn") === 1)
           .select("token", "tok_lang")
         val wDoc = Window.partitionBy("doc_id").orderBy(desc("v"), asc("tok_lang"))
-        val pred = tk.join(broadcast(best), "token")
+        // No broadcast hint: `best` is one row per distinct TOKEN — corpus-
+        // vocabulary-proportional, unbounded at 100 TB. Size-based join
+        // selection broadcasts it while small and falls back to a shuffled
+        // hash/sort-merge join when the vocabulary outgrows the threshold.
+        val pred = tk.join(best, "token")
           .groupBy("doc_id", "tok_lang").agg(count(lit(1)).as("v"))
           .withColumn("rn", row_number().over(wDoc)).where(col("rn") === 1)
           .select(col("doc_id"), col("tok_lang").as("pred_lang"))
