@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warmup, outside any per-query timing —
+    // otherwise the first query is charged ~5 s of JIT + classloading.
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(r.select(r.col("r_regionkey")), "r_regionkey").count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

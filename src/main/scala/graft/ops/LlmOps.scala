@@ -286,13 +286,15 @@ object LlmOps {
                ORDER BY p.p_id""")),
 
     // Random-hyperplane LSH ANN — the sub-quadratic similarity path. The
-    // LSH stage only GENERATES candidates: bucketLength 2.0 over 32 OR'd
-    // tables puts the per-pair miss probability below 1e-8 for any pair
-    // within the 2.5 distance budget, so the candidate set whp contains
-    // every true neighbor the query can rank. Exact euclidean distance is
-    // then recomputed with the same zip_with fold the oracle uses
-    // (bit-identical sequential double sums), making the top-5 per probe
-    // deterministic — the oracle computes it by brute force.
+    // LSH stage only GENERATES candidates: bucketLength 4.0 over 16 OR'd
+    // tables puts the per-pair miss probability around 1e-10 for pairs at
+    // ranking-relevant distance (top-5 dists sit at ~1.1-1.25, far inside
+    // the 2.5 budget; collision prob per table ≈ 1-E|N(0,c²)|/4 ≈ 0.75),
+    // so the candidate set whp contains every neighbor the query can rank.
+    // Exact euclidean distance is then recomputed with the same zip_with
+    // fold the oracle uses (bit-identical sequential double sums), making
+    // the top-5 per probe deterministic — the oracle computes it by brute
+    // force.
     Spec("sim_lsh_approx",
       (s, d) => {
         import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
@@ -301,7 +303,7 @@ object LlmOps {
           .withColumn("vec", array_to_vector(transform(col("embedding"), x => x.cast("double"))))
           .select("vec_id", "vec", "embedding")
         val brp = new BucketedRandomProjectionLSH().setInputCol("vec").setOutputCol("hashes")
-          .setBucketLength(2.0).setNumHashTables(32).setSeed(42L)
+          .setBucketLength(4.0).setNumHashTables(16).setSeed(42L)
         val model = brp.fit(emb)
         val probes = emb.where(col("vec_id") < 5)
         val exactDist = sqrt(aggregate(

@@ -218,8 +218,11 @@ object Streaming {
               GROUP BY user_id ORDER BY user_id""")),
 
     // Same semantics through Spark 4's transformWithState (typed ValueState
-    // + StatefulProcessor, RocksDB state store — the modern replacement for
-    // flatMapGroupsWithState).
+    // + StatefulProcessor, RocksDB state store — transformWithState needs
+    // multiple column families, which only RocksDB provides). RocksDB opens
+    // one native store per state partition, so the partition count is
+    // size-matched: 2 covers the 150-key local state (at production key
+    // volume this knob rises with the cluster).
     Spec("stream_stateful_tws",
       (s, d) => {
         val e = ev(s, d)
@@ -230,7 +233,7 @@ object Streaming {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
-            cacheKey = s"stateful|$d") { src =>
+            cacheKey = s"stateful|$d", statePartitions = 2) { src =>
             import s.implicits._
             src.as[Event]
               .groupByKey(_.user_id)

@@ -51,7 +51,8 @@ object StreamRunner {
     * repeat invocations in one session skip the prepare step.
     */
   def run(spark: SparkSession, batches: Seq[DataFrame], schema: StructType,
-          outputMode: String, cacheKey: String = "")(build: DataFrame => DataFrame): DataFrame = {
+          outputMode: String, cacheKey: String = "",
+          statePartitions: Int = 8)(build: DataFrame => DataFrame): DataFrame = {
     val tmp =
       if (cacheKey.isEmpty) writeBatches(batches)
       else dirCache.getOrElseUpdate(s"${spark.hashCode()}|$cacheKey", writeBatches(batches))
@@ -63,7 +64,7 @@ object StreamRunner {
     // local test feed is small, so 8 partitions cut per-batch state-store
     // overhead ~4× (at production scale this knob rises with key volume).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
       try build(src).writeStream
         .format("memory").queryName(name).outputMode(outputMode)

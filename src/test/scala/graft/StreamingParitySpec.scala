@@ -47,6 +47,13 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed < total) // some late rows must actually be dropped
   }
 
+  test("stream_stateful_tws (RocksDB store) equals batch per-user counts") {
+    val streamed = q("stream_stateful_tws")
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events")).orderBy("user_id")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream_stream_join matches the batch interval join") {
     val streamed = q("stream_stream_join")
     val e = Tables.events(spark, sf)
