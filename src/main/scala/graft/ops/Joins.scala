@@ -166,6 +166,44 @@ object Joins {
                 o_orderkey, CAST(o_date AS VARCHAR) AS o_date
               FROM j WHERE rn = 1 ORDER BY event_id""")),
 
+    // Same as-of semantics through the native whole-operator path
+    // (graft.plans.AsOfMergeJoinExec: custom LogicalPlan + SparkStrategy +
+    // SparkPlan, single-pass merge after one hash shuffle per side — no
+    // (left × right≤t) row explosion, no window pass). Same oracle as
+    // join_asof; AsOfNativeSpec additionally proves plan + result parity.
+    Spec("join_asof_native",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("date_add(DATE '1995-01-01', CAST(floor(value * 20) AS INT))").as("ev_date"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_date"))
+        graft.plans.Asof.join(
+            ev, leftKey = "user_id", leftTime = "ev_date",
+            o, rightKey = "o_custkey", rightTime = "o_date",
+            rightTieBreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("ev_date").cast("string").as("ev_date"),
+            col("o_orderkey"), col("o_date").cast("string").as("o_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id,
+                       DATE '1995-01-01' + CAST(floor(value * 20) AS INT) AS ev_date
+                FROM events),
+              j AS (
+                SELECT ev.event_id, ev.user_id, ev.ev_date, o.o_orderkey,
+                       CAST(o.o_orderdate AS DATE) AS o_date,
+                       row_number() OVER (PARTITION BY ev.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM ev JOIN orders o
+                  ON o.o_custkey = ev.user_id
+                 AND CAST(o.o_orderdate AS DATE) <= ev.ev_date)
+              SELECT event_id, user_id, CAST(ev_date AS VARCHAR) AS ev_date,
+                o_orderkey, CAST(o_date AS VARCHAR) AS o_date
+              FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // TPC-H Q5 shape adapted to available columns: revenue by region/nation.
     Spec("join_multiway_star",
       (s, d) => {

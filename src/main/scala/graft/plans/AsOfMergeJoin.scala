@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator extension path the north star
+  * names (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`): for each
+  * left row, the LATEST right row of the same key whose time is <= the
+  * left time (ties broken by the ascending `rightTieBreak` columns —
+  * taking the last match makes them max-tiebreaks, matching the
+  * `row_number ... ORDER BY time DESC, tie DESC = 1` relational shape).
+  *
+  * Why a bespoke physical operator: the relational rewrite (conditional
+  * join + per-left-row window top-1, see `Joins.scala` join_asof)
+  * materializes EVERY (left, right-with-time<=t) pair before discarding
+  * all but one — at 100 TB the intermediate explodes with per-key right
+  * cardinality. This operator is a single-pass merge: each side shuffles
+  * once on the key (`ClusteredDistribution`), sorts within partitions by
+  * (key, time) (`requiredChildOrdering` — Catalyst inserts the Exchange +
+  * Sort, AQE still applies), then one forward scan of both streams emits
+  * exactly one row per matched left row. No row explosion, no window
+  * state, memory O(1) per partition beyond the sort.
+  *
+  * Inner semantics (unmatched left rows drop), mirroring join_asof.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfMergeJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // one hash shuffle per side on the join key; EnsureRequirements
+  // co-partitions the two children exactly as it does for sort-merge join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // in-partition sort: left (key, time); right (key, time, tiebreaks) —
+  // "last right row <= t" is then the window-top-1 row
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        // rows from the upstream sorter are reused buffers: copy anything
+        // retained across next() calls (the lookahead and the candidate)
+        private def nextRight(): InternalRow =
+          if (rIter.hasNext) rIter.next().copy() else null
+        private var rHead: InternalRow = nextRight()
+        private var candidate: InternalRow = null
+        private var candKey: Any = null
+        private var outRow: InternalRow = null
+
+        private def advance(): Unit = {
+          while (outRow == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyB.eval(l)
+            val lt = lTimeB.eval(l)
+            if (lk != null && lt != null) {
+              var scan = rHead != null
+              while (scan) {
+                val rk = rKeyB.eval(rHead)
+                val rt = if (rk == null) null else rTimeB.eval(rHead)
+                val takeOrSkip =
+                  rk == null || keyOrd.compare(rk, lk) < 0 ||
+                    (keyOrd.compare(rk, lk) == 0 &&
+                      (rt == null || timeOrd.compare(rt, lt) <= 0))
+                if (takeOrSkip) {
+                  if (rk != null && rt != null && keyOrd.compare(rk, lk) == 0) {
+                    candidate = rHead; candKey = rk
+                  }
+                  rHead = nextRight(); scan = rHead != null
+                } else scan = false
+              }
+              if (candidate != null && keyOrd.compare(candKey, lk) == 0) {
+                joined(l, candidate)
+                outRow = resultProj(joined)
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { if (outRow == null) advance(); outRow != null }
+        override def next(): InternalRow = {
+          if (outRow == null) advance()
+          val r = outRow; outRow = null; r
+        }
+      }
+    }
+  }
+}
+
+/** Planner strategy for [[AsOfJoinPlan]] — the documented public seam
+  * (`SparkStrategy` alias / `experimental.extraStrategies` /
+  * `SparkSessionExtensions.injectPlannerStrategy`).
+  */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: `Asof.join(left, "key", "time", right, "key", "time", ...)`.
+  * Columns are named (pre-project derived keys/times), so all expressions
+  * are resolved attributes and the plan drops straight into the analyzer.
+  */
+object Asof {
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ new AsOfJoinStrategy
+  }
+
+  def join(left: DataFrame, leftKey: String, leftTime: String,
+           right: DataFrame, rightKey: String, rightTime: String,
+           rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val ls = left.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureRegistered(ls)
+    val lplan = left.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    val rplan = right.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"as-of join: no column '$n' on $side side"))
+    val lk = attr(lplan, leftKey, "left"); val rk = attr(rplan, rightKey, "right")
+    val lt = attr(lplan, leftTime, "left"); val rt = attr(rplan, rightTime, "right")
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    org.apache.spark.sql.graftshim.DatasetShim.ofRows(ls,
+      AsOfJoinPlan(lplan, rplan, lk, rk, lt, rt, rightTieBreak.map(attr(rplan, _, "right"))))
+  }
+}
