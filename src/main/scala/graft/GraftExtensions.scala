@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration seam: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * installs every graft extension at session build time — the documented
+  * public hook (`SparkSessionExtensions`), preferable to per-session
+  * imperative registration because it also applies to sessions graft code
+  * never touches (thrift server, connect, notebooks).
+  *
+  * Installs:
+  *  - [[graft.plans.AsOfJoinStrategy]] — plans [[graft.plans.AsOfJoinPlan]]
+  *    as the single-pass merge exec (`injectPlannerStrategy`).
+  *  - `dot_product(array<float>, array<float>)` — the codegen'd
+  *    [[graft.functions.DotProductExpr]] (`injectFunction`), usable from SQL
+  *    text without any imperative `register` call.
+  *
+  * `Asof.join` / `DotProductExpr.register` remain as imperative fallbacks
+  * for sessions built without the conf; both are idempotent when the
+  * extension already installed the hook.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_product expects 2 arguments (array<float>, array<float>), got ${exprs.length}")
+        graft.functions.DotProductExpr(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -149,7 +149,11 @@ class AsOfJoinStrategy extends SparkStrategy {
 object Asof {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+    // planner.strategies covers both seams: GraftExtensions' injected
+    // strategy AND a previous extraStrategies registration — skip if either
+    // already installed it, so the extension path stays the only hook in
+    // sessions built with spark.sql.extensions=graft.GraftExtensions.
+    if (!cs.sessionState.planner.strategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ new AsOfJoinStrategy
   }

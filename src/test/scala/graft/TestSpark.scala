@@ -9,6 +9,7 @@ object TestSpark {
     val wh = java.nio.file.Files.createTempDirectory("graft_warehouse_")
     val s = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh.toString)
