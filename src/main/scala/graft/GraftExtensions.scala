@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_product expects 2 arguments (array<float>, array<float>), got ${exprs.length}")
         graft.functions.DotProductExpr(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantilesAgg].getName, "kll_quantiles"),
+      graft.functions.KllQuantilesAgg.builder _))
   }
 }

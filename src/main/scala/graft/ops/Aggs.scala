@@ -235,6 +235,35 @@ object Aggs {
                 round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Custom TypedImperativeAggregate (KLL/MRL quantile sketch,
+    // functions/KllQuantilesAgg.scala) — the sketch seam beyond HLL++.
+    // Like agg_approx_distinct, the estimate is implementation-specific, so
+    // the ORACLE-CHECKED output is an invariant: the achieved rank of each
+    // estimated quantile (fraction of group rows <= estimate, an exact
+    // integer ratio) must land within ±5% of the target rank. k=512 keeps
+    // observed rank error <2% at these scales, so the booleans are
+    // deterministically true and DuckDB states them literally.
+    Spec("agg_kll_quantiles",
+      (s, d) => {
+        graft.functions.KllQuantilesAgg.register(s)
+        val li = t(s, d, "lineitem")
+        val est = li.groupBy("l_returnflag")
+          .agg(expr("kll_quantiles(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("est"))
+        def rank(i: Int) = // exact integer sum / exact count → one IEEE division
+          (sum(when(col("l_extendedprice") <= element_at(col("est"), i), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)))
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            (abs(rank(1) - 0.5) <= 0.05).as("r50_ok"),
+            (abs(rank(2) - 0.9) <= 0.05).as("r90_ok"),
+            (abs(rank(3) - 0.99) <= 0.05).as("r99_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                true AS r50_ok, true AS r90_ok, true AS r99_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Pivot (wide-format aggregation): explicit value list keeps the column
     // set static; pivot's empty cells are null → coalesce to 0 to match the
     // relational conditional-count oracle.
