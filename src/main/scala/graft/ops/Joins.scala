@@ -228,6 +228,109 @@ object Joins {
                  JOIN nation   ON c_nationkey = n_nationkey
                  JOIN region   ON n_regionkey = r_regionkey
                GROUP BY r_name, n_name
-               ORDER BY r_name, n_name"""))
+               ORDER BY r_name, n_name""")),
+
+    // TPC-H Q3 shape (shipping priority): filtered dim broadcast into the
+    // fact-fact shuffle join, then global top-10 — compiles to
+    // TakeOrderedAndProject (no full sort at any scale). Revenue ties are
+    // broken by o_orderkey so the limit is deterministic.
+    Spec("join_q3_shipping",
+      (s, d) => {
+        val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+        val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").where(col("o_orderdate") < cut)
+        val li = t(s, d, "lineitem").where(col("l_shipdate") > cut)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_date"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey,
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+                 o_orderpriority,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+               FROM lineitem
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+                 AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+               GROUP BY o_orderkey, o_orderdate, o_orderpriority
+               ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // TPC-H Q7 shape (volume shipping between two nations): lineitem joins
+    // BOTH supplier-side and customer-side nation dims (two broadcasts of
+    // the same table under different roles) across the orders fact join.
+    Spec("join_q7_volume",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        val pair = Seq("NATION_18", "NATION_19", "NATION_20", "NATION_21")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .where(col("supp_nation").isin(pair: _*) && col("cust_nation").isin(pair: _*) &&
+            col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT supp_nation, cust_nation, l_year,
+                 ${msumSql("volume", 4)} AS revenue, count(*) AS n_items
+               FROM (
+                 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                        CAST(year(l_shipdate) AS INT) AS l_year,
+                        l_extendedprice * (1.0 - l_discount) AS volume
+                 FROM lineitem
+                   JOIN orders   ON l_orderkey = o_orderkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                 WHERE n1.n_name IN ('NATION_18', 'NATION_19', 'NATION_20', 'NATION_21')
+                   AND n2.n_name IN ('NATION_18', 'NATION_19', 'NATION_20', 'NATION_21')
+                   AND n1.n_name <> n2.n_name) shipping
+               GROUP BY supp_nation, cust_nation, l_year
+               ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of returns per
+    // customer, top-20 by lost revenue — dims broadcast, one fact-fact
+    // shuffle, TakeOrderedAndProject for the limit.
+    Spec("join_q10_returns",
+      (s, d) => {
+        val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        val o = t(s, d, "orders").where(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+               FROM lineitem
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation   ON c_nationkey = n_nationkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+               GROUP BY c_custkey, c_name, c_acctbal, n_name
+               ORDER BY revenue DESC, c_custkey LIMIT 20"""))
   )
 }
