@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantilesAgg].getName, "kll_quantiles"),
       graft.functions.KllQuantilesAgg.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("mg_heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName, "mg_heavy_hitters"),
+      graft.functions.MisraGriesAgg.builder _))
   }
 }

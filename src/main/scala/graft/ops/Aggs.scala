@@ -264,6 +264,37 @@ object Aggs {
                 true AS r50_ok, true AS r90_ok, true AS r99_ok
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Custom TypedImperativeAggregate #2: Misra-Gries heavy hitters
+    // (functions/MisraGriesAgg.scala) — deterministic frequent-items
+    // summary, O(k) state per group. The MG guarantee (every item with
+    // true frequency > n/k survives the sketch, any merge order) makes
+    // candidates-filtered-by-EXACT-count equal the exact > n/k item set,
+    // which DuckDB states relationally. Item = floor(sqrt(value)):
+    // IEEE-exact on both engines (no libm drift).
+    Spec("agg_heavy_hitters",
+      (s, d) => {
+        graft.functions.MisraGriesAgg.register(s)
+        val ev = t(s, d, "events")
+          .select(col("event_type"), floor(sqrt(col("value"))).cast("long").as("item"))
+        val cand = ev.groupBy("event_type")
+          .agg(expr("mg_heavy_hitters(item, 8)").as("cands"))
+        val exact = ev.groupBy("event_type", "item").agg(count(lit(1)).as("cnt"))
+          .withColumn("n_total",
+            sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        exact.join(broadcast(cand), "event_type")
+          .where(array_contains(col("cands"), col("item")) && col("cnt") * 8 > col("n_total"))
+          .select("event_type", "item", "cnt")
+          .orderBy("event_type", "item")
+      },
+      Some("""WITH b AS (
+                SELECT event_type, CAST(floor(sqrt(value)) AS BIGINT) AS item FROM events),
+              tot AS (SELECT event_type, count(*) AS n FROM b GROUP BY event_type)
+              SELECT b.event_type AS event_type, item, count(*) AS cnt
+              FROM b JOIN tot ON b.event_type = tot.event_type
+              GROUP BY b.event_type, item, tot.n
+              HAVING count(*) * 8 > tot.n
+              ORDER BY b.event_type, item""")),
+
     // Pivot (wide-format aggregation): explicit value list keeps the column
     // set static; pivot's empty cells are null → coalesce to 0 to match the
     // relational conditional-count oracle.
