@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Native as-of join — the whole-operator extension path the north star
   * names (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`): for each
@@ -130,14 +131,112 @@ case class AsOfMergeJoinExec(
   }
 }
 
+/** Broadcast as-of join: when the right side is dim-sized, the scale-
+  * optimal plan shuffles NOTHING — the left (the 100 TB fact) is scanned
+  * in place. Each task receives the whole right side once
+  * (`BroadcastDistribution(IdentityBroadcastMode)` — Catalyst inserts the
+  * BroadcastExchange, AQE reuses it), builds a key → time-sorted row
+  * index lazily per executor, and answers each left row with a binary
+  * search (last right row with time <= t; bucket sorted by (time,
+  * tiebreaks) ascending so "last" realizes the max-tiebreak rule).
+  * Mirrors Spark's own BHJ-vs-SMJ selection: [[AsOfJoinStrategy]] picks
+  * this exec iff right's stats fit `autoBroadcastJoinThreshold`.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // left passes through untouched: its partitioning AND ordering survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val rTieB = rightTieBreak.map(BindReferences.bindReference(_, right.output))
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val tieOrds = rightTieBreak.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
+    val outAttrs = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      // built once per task; tiny (right side fits the broadcast threshold)
+      val index = new java.util.HashMap[Any, Array[InternalRow]]()
+      val grouped = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
+      broadcastRows.value.foreach { row =>
+        val k = rKeyB.eval(row)
+        if (k != null && rTimeB.eval(row) != null) {
+          var bucket = grouped.get(k)
+          if (bucket == null) { bucket = new java.util.ArrayList[InternalRow](); grouped.put(k, bucket) }
+          bucket.add(row)
+        }
+      }
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          var c = timeOrd.compare(rTimeB.eval(a), rTimeB.eval(b))
+          var i = 0
+          while (c == 0 && i < rTieB.length) {
+            c = tieOrds(i).compare(rTieB(i).eval(a), rTieB(i).eval(b)); i += 1
+          }
+          c
+        }
+      }
+      grouped.forEach { (k, bucket) =>
+        bucket.sort(cmp)
+        index.put(k, bucket.toArray(new Array[InternalRow](bucket.size())))
+      }
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.flatMap { l =>
+        val lk = lKeyB.eval(l)
+        val lt = lTimeB.eval(l)
+        val bucket = if (lk == null || lt == null) null else index.get(lk)
+        if (bucket == null) Iterator.empty
+        else {
+          // binary search: last row with time <= lt
+          var lo = 0; var hi = bucket.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(rTimeB.eval(bucket(mid)), lt) <= 0) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans < 0) Iterator.empty
+          else Iterator.single(resultProj(joined(l, bucket(ans))))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** Planner strategy for [[AsOfJoinPlan]] — the documented public seam
   * (`SparkStrategy` alias / `experimental.extraStrategies` /
-  * `SparkSessionExtensions.injectPlannerStrategy`).
+  * `SparkSessionExtensions.injectPlannerStrategy`). Size-based physical
+  * selection, mirroring Spark's join planning: broadcast-index exec when
+  * the right side's estimated size fits `autoBroadcastJoinThreshold`
+  * (zero left-side shuffle — the 100 TB fact streams in place), else the
+  * co-partitioned single-pass merge.
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfMergeJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -1,36 +1,56 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Native as-of merge join (graft.plans.AsOfMergeJoinExec): result parity
-  * with the relational rewrite (cond-join + window top-1), plan shape
-  * (custom exec node present, no row-exploding join + window), and edge
-  * semantics (null keys/times drop, unmatched left rows drop, tie-break
-  * takes the max tiebreak column).
+/** Native as-of join — both physical paths (size-based selection like
+  * Spark's own join planning):
+  *  - BroadcastAsOfJoinExec: right fits the broadcast threshold → zero
+  *    left-side shuffle, per-task key→sorted-time index + binary search.
+  *  - AsOfMergeJoinExec: co-partitioned single-pass merge.
+  * Result parity with the relational rewrite (cond-join + window top-1),
+  * plan shape, and edge semantics (null keys/times drop, unmatched left
+  * drops, tie-break takes the max tiebreak column) on each path.
   */
 class AsOfNativeSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("join_asof_native matches join_asof row-for-row") {
-    val native = q("join_asof_native")
-    val rel = q("join_asof")
-    assert(native.count() > 0)
-    assert(native.exceptAll(rel).count() == 0)
-    assert(rel.exceptAll(native).count() == 0)
+  private val ThresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+
+  private def withThreshold[T](v: String)(body: => T): T = {
+    val old = spark.conf.get(ThresholdKey)
+    spark.conf.set(ThresholdKey, v)
+    try body finally spark.conf.set(ThresholdKey, old)
   }
 
-  test("physical plan uses AsOfMergeJoinExec, not join+window") {
-    val native = q("join_asof_native")
-    val plan = native.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfMergeJoin"))
-    // the native path must not fall back to the exploding rewrite
-    assert(!plan.contains("SortMergeJoin"))
-    assert(!plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"))
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("broadcast path: plan shape and parity with relational as-of") {
+    withThreshold("10485760") {
+      val native = q("join_asof_native")
+      val plan = planOf(native)
+      assert(plan.contains("BroadcastAsOfJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"))
+      val rel = q("join_asof")
+      assert(native.count() > 0)
+      assert(native.exceptAll(rel).count() == 0 && rel.exceptAll(native).count() == 0)
+    }
   }
 
-  test("as-of semantics: latest right <= t, tie-break max, nulls drop") {
+  test("merge path: plan shape and parity with relational as-of") {
+    withThreshold("-1") {
+      val native = q("join_asof_native")
+      val plan = planOf(native)
+      assert(plan.contains("AsOfMergeJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("BroadcastAsOfJoin") && !plan.contains("Window"))
+      val rel = q("join_asof")
+      assert(native.count() > 0)
+      assert(native.exceptAll(rel).count() == 0 && rel.exceptAll(native).count() == 0)
+    }
+  }
+
+  private def semantics(): Unit = {
     val s = spark
     import s.implicits._
     val left = Seq(
@@ -53,16 +73,20 @@ class AsOfNativeSpec extends AnyFunSuite {
         right, rightKey = "k", rightTime = "t2", rightTieBreak = Seq("v"))
       .select("tag", "v").as[(String, Int)].collect().toMap
     assert(out == Map("a" -> 101, "b" -> 50))
+
+    val left2 = Seq((1, 10, "x"), (1, 10, "y")).toDF("k", "t", "tag")
+    val right2 = Seq((1, 9, 90)).toDF("k", "t2", "v")
+    val out2 = graft.plans.Asof.join(
+        left2, "k", "t", right2, "k", "t2").select("tag", "v")
+      .as[(String, Int)].collect().toSet
+    assert(out2 == Set(("x", 90), ("y", 90)))
   }
 
-  test("left rows with duplicate (key,time) each emit one row") {
-    val s = spark
-    import s.implicits._
-    val left = Seq((1, 10, "x"), (1, 10, "y")).toDF("k", "t", "tag")
-    val right = Seq((1, 9, 90)).toDF("k", "t2", "v")
-    val out = graft.plans.Asof.join(
-        left, "k", "t", right, "k", "t2").select("tag", "v")
-      .as[(String, Int)].collect().toSet
-    assert(out == Set(("x", 90), ("y", 90)))
+  test("as-of edge semantics on the broadcast path") {
+    withThreshold("10485760")(semantics())
+  }
+
+  test("as-of edge semantics on the merge path") {
+    withThreshold("-1")(semantics())
   }
 }

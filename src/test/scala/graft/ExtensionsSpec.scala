@@ -20,7 +20,8 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("as-of join plans through the injected strategy, not extraStrategies") {
     val native = q("join_asof_native")
-    assert(native.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin") || plan.contains("BroadcastAsOfJoin"))
     // ensureRegistered must have recognized the injected strategy and NOT
     // fallen back to the imperative experimental seam
     val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
