@@ -45,9 +45,11 @@ object Multimodal {
 
   /** STUB decode: bytes → float "pixels" in [0,1]. Stands in for a JPEG/
     * PNG decoder; deterministic so the pipeline is testable offline.
+    * (Delegates to [[TextBytesCodec]] — the default [[MediaCodec]]; real
+    * decoders plug in through `extractFeatures(codec = ...)`.)
     */
   def decodeStub(payload: Array[Byte]): Array[Float] =
-    payload.map(b => ((b & 0xff).toFloat / 255.0f))
+    TextBytesCodec.open().decode(payload, 0, 0, 3)
 
   /** Fixed-size resize by mean-pooling into `buckets` cells — the stand-in
     * for bilinear image resize.
@@ -70,7 +72,8 @@ object Multimodal {
     * once per partition, not per row. No shuffle — embarrassingly
     * parallel over the corpus.
     */
-  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+  def extractFeatures(s: SparkSession, d: String,
+                      codec: MediaCodec = TextBytesCodec): DataFrame = {
     import s.implicits._
     corpus(s, d)
       .select(col("doc_id"), col("payload"),
@@ -78,9 +81,12 @@ object Multimodal {
         col("meta.channels").as("channels"))
       .as[MediaRecord]
       .mapPartitions { it =>
-        // per-partition decoder setup would happen here (amortized once)
+        // per-partition decoder session, closed even on task failure
+        val dec = codec.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
         it.map { r =>
-          val px = decodeStub(r.payload)
+          val px = dec.decode(r.payload, r.width, r.height, r.channels)
           val pooled = resizePool(px, 8)
           var sum = 0.0; var mx = 0.0
           var bsum = 0L

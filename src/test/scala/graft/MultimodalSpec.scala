@@ -58,4 +58,48 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => ops.Multimodal.decodeStub(r.getAs[Array[Byte]]("content")))
     assert(decoded.forall(_.nonEmpty))
   }
+
+  test("pluggable codec: open() amortized once per partition, sessions closed") {
+    CountingCodec.reset()
+    val parts = ops.Multimodal.corpus(spark, sf).rdd.getNumPartitions
+    val feats = ops.Multimodal.extractFeatures(spark, sf, codec = CountingCodec)
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(feats.count() == docs)
+    // one decoder session per partition, not per row; every session closed
+    assert(CountingCodec.opens.get() == parts,
+      s"opens=${CountingCodec.opens.get()} partitions=$parts")
+    assert(CountingCodec.closes.get() == CountingCodec.opens.get())
+    assert(CountingCodec.decodes.get() == docs)
+  }
+
+  test("a custom codec's output flows through the feature pipeline") {
+    // constant-0.5 codec → mean_px 0.5 and max_px 0.5 for every record
+    val feats = ops.Multimodal.extractFeatures(spark, sf, codec = HalfCodec)
+    assert(feats.where(col("mean_px") =!= 0.5 || col("max_px") =!= 0.5).count() == 0)
+  }
+}
+
+/** Test codec counting session lifecycle events (local mode: one JVM, so
+  * static atomics observe executor-side calls). */
+object CountingCodec extends graft.ops.MediaCodec {
+  val opens = new java.util.concurrent.atomic.AtomicLong
+  val closes = new java.util.concurrent.atomic.AtomicLong
+  val decodes = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = { opens.set(0); closes.set(0); decodes.set(0) }
+  override val name = "counting"
+  override def open(): graft.ops.MediaDecoder = {
+    opens.incrementAndGet()
+    new graft.ops.MediaDecoder {
+      override def decode(p: Array[Byte], w: Int, h: Int, c: Int): Array[Float] = {
+        decodes.incrementAndGet(); p.map(b => (b & 0xff).toFloat / 255.0f)
+      }
+      override def close(): Unit = closes.incrementAndGet()
+    }
+  }
+}
+
+object HalfCodec extends graft.ops.MediaCodec {
+  override val name = "half"
+  override def open(): graft.ops.MediaDecoder =
+    (p: Array[Byte], w: Int, h: Int, c: Int) => Array.fill(math.max(p.length, 1))(0.5f)
 }
