@@ -126,6 +126,42 @@ object Joins {
                AND l_quantity BETWEEN p_size - 2 AND p_size + 2
               ORDER BY p_partkey, l_orderkey, l_linenumber, l_quantity""")),
 
+    // Binned interval join: a PURE interval predicate (no equi key) plans
+    // as BroadcastNestedLoopJoin — O(n·m), dead at 100 TB when the interval
+    // table outgrows a broadcast. The scale shape: explode each interval
+    // into the fixed-width bins it overlaps, join on bin EQUALITY (hash
+    // shuffle join — AQE-planned), then post-filter the exact predicate.
+    // Bin width trades interval replication against join selectivity;
+    // one extra empty bin per power-of-two boundary is harmless (inner
+    // join drops it).
+    Spec("join_range_binned",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (0, 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 4.0, 8.0),
+          (4, 8.0, 16.0), (5, 16.0, 32.0), (6, 32.0, 64.0),
+          (7, 64.0, 128.0), (8, 128.0, 256.0), (9, 256.0, 512.0))
+          .toDF("band_id", "lo", "hi")
+        val w = lit(8.0)
+        val bins = bands.withColumn("bin",
+          explode(sequence((col("lo") / w).cast("long"), (col("hi") / w).cast("long"))))
+        val ev = t(s, d, "events")
+          .withColumn("bin", (col("value") / w).cast("long"))
+        ev.join(bins, "bin")
+          .where(col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_events"), msum(col("value")).as("total_value"))
+          .orderBy("band_id")
+      },
+      Some(s"""WITH bands(band_id, lo, hi) AS (VALUES
+                 (0, 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 4.0, 8.0),
+                 (4, 8.0, 16.0), (5, 16.0, 32.0), (6, 32.0, 64.0),
+                 (7, 64.0, 128.0), (8, 128.0, 256.0), (9, 256.0, 512.0))
+               SELECT band_id, count(*) AS n_events,
+                 ${msumSql("value")} AS total_value
+               FROM events JOIN bands ON value >= lo AND value < hi
+               GROUP BY band_id ORDER BY band_id""")),
+
     // As-of join: per event, the latest order of customer=user_id with
     // o_orderdate <= an event-derived date. No native as-of in Spark SQL;
     // the portable shape (identical on both engines, SURVEY.md §2 C) is a
