@@ -264,6 +264,20 @@ object Aggs {
                 true AS r50_ok, true AS r90_ok, true AS r99_ok
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Skew-mitigated aggregation through ops.Salting (docs/SCALE.md): the
+    // classic two-phase rewrite — partial agg on (key, salt), final on key.
+    // l_returnflag is the engine's most skew-shaped key (3 values over the
+    // whole fact table); the deterministic content-hash salt spreads each
+    // hot key over 16 shuffle partitions. Counts and integral-valued sums
+    // re-aggregate exactly, so the oracle is the plain groupBy.
+    Spec("agg_skew_salted",
+      (s, d) => Salting.saltedCountSum(
+          t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+          "l_returnflag", "l_quantity", 16)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_value
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Custom TypedImperativeAggregate #2: Misra-Gries heavy hitters
     // (functions/MisraGriesAgg.scala) — deterministic frequent-items
     // summary, O(k) state per group. The MG guarantee (every item with
