@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic synthetic events table —
+  * `spark.read.format("graft.sources.SynthSource").option("rows", n)...`.
+  *
+  * The point is the CONNECTOR surface, the seam a real 100 TB source
+  * (object store, message log, feature service) would implement:
+  *
+  *  - `planInputPartitions`: N independent splits, read in parallel by
+  *    executors — no driver materialization anywhere.
+  *  - `SupportsPushDownRequiredColumns`: column pruning reaches the
+  *    reader, which GENERATES only the pruned columns (visible as
+  *    `ReadSchema` in explain, like parquet).
+  *  - `SupportsPushDownFilters`: `event_id` range predicates are consumed
+  *    at PLANNING time — splits wholly outside the range are never
+  *    created (the DSv2 analogue of partition pruning; visible as
+  *    `PushedFilters` + a smaller scan RDD). Other filters are left to
+  *    Spark as post-scan filters.
+  *
+  * Rows are pure functions of (seed, event_id) via splitmix64, so any
+  * subset, split count, or re-read yields identical data — the property
+  * the repo's determinism gate needs.
+  */
+class SynthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthTable(new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SynthSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val eventTypes: Array[UTF8String] =
+    Array("click", "view", "purchase", "signup", "error").map(UTF8String.fromString)
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** The row at `id` (column values in schema order), shared by reader and
+    * tests — the source of truth for parity checks. */
+  def userId(seed: Long, id: Long): Long = Math.floorMod(splitmix64(seed ^ id), 1000L)
+  def eventTypeIdx(seed: Long, id: Long): Int =
+    Math.floorMod(splitmix64(seed ^ id ^ 0x5bf03635L), eventTypes.length.toLong).toInt
+  def value(seed: Long, id: Long): Double =
+    Math.floorMod(splitmix64(seed ^ id ^ 0x9e3779b9L), 100000L) / 1000.0
+}
+
+class SynthTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_synth_events"
+  override def schema(): StructType = SynthSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new SynthScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class SynthScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private val rows = options.getLong("rows", 100000L)
+  private val numPartitions = options.getInt("numPartitions", 8)
+  private val seed = options.getLong("seed", 42L)
+
+  private var requiredSchema: StructType = SynthSource.schema
+  private var lo = 0L // inclusive event_id bound
+  private var hi = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (consumed, residual) = filters.partition {
+      case sources.GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1); true
+      case sources.GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
+      case sources.LessThan("event_id", v: Long) => hi = math.min(hi, v); true
+      case sources.LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1); true
+      case sources.EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = consumed
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SynthScan(rows, numPartitions, seed, requiredSchema, lo, math.max(lo, hi))
+}
+
+case class SynthInputPartition(start: Long, end: Long, seed: Long) extends InputPartition
+
+class SynthScan(rows: Long, numPartitions: Int, seed: Long,
+                required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_synth rows=$rows range=[$lo,$hi) partitions=$numPartitions"
+
+  // split the FULL id space evenly, then plan only splits intersecting
+  // the pushed range — split skipping, the partition-pruning analogue
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + numPartitions - 1) / numPartitions)
+    (0 until numPartitions).iterator
+      .map(i => (i * per, math.min(rows, (i + 1) * per)))
+      .filter { case (s, e) => s < e && e > lo && s < hi }
+      .map { case (s, e) => SynthInputPartition(math.max(s, lo), math.min(e, hi), seed) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthInputPartition]
+    // generate ONLY the pruned columns, in the required order
+    val gens: Array[Long => Any] = required.fields.map { f =>
+      f.name match {
+        case "event_id" => (id: Long) => id
+        case "user_id" => (id: Long) => SynthSource.userId(sp.seed, id)
+        case "event_type" =>
+          (id: Long) => SynthSource.eventTypes(SynthSource.eventTypeIdx(sp.seed, id))
+        case "value" => (id: Long) => SynthSource.value(sp.seed, id)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var id = sp.start - 1
+      override def next(): Boolean = { id += 1; id < sp.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
