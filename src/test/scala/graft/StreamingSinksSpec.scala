@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming sink capabilities beyond the in-memory harness:
+  *  - checkpointed parquet file sink: exactly-once across a restart
+  *    (second AvailableNow drain over the SAME checkpoint + input
+  *    reprocesses nothing — no duplicate rows in the sink);
+  *  - the built-in unbounded rate source feeding a streaming aggregate
+  *    (the everything-is-a-file harness is a choice, not a limitation).
+  */
+class StreamingSinksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("parquet file sink is exactly-once across a checkpoint restart") {
+    val base = Files.createTempDirectory("graft_fsink_").toFile
+    base.deleteOnExit()
+    val in = new java.io.File(base, "in"); in.mkdirs()
+    val out = new java.io.File(base, "out").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+
+    val s = spark
+    import s.implicits._
+    // two input files = two micro-batches (maxFilesPerTrigger=1)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(in.getPath)
+    Seq((3L, "c"), (4L, "d")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(in.getPath)
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, tag STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.getPath)
+        .withColumn("doubled", col("id") * 2)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 4)
+    assert(first.agg(sum("doubled")).head.getLong(0) == 20L)
+
+    // restart over the same checkpoint and unchanged input: nothing new
+    drain()
+    assert(spark.read.parquet(out).count() == 4, "restart duplicated rows")
+
+    // new data after restart is picked up exactly once
+    Seq((5L, "e")).toDF("id", "tag").coalesce(1).write.mode("append").parquet(in.getPath)
+    drain()
+    val finalDf = spark.read.parquet(out)
+    assert(finalDf.count() == 5)
+    assert(finalDf.where(col("id") === 5).count() == 1)
+  }
+
+  test("rate source feeds an unbounded streaming aggregate") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).option("numPartitions", 2)
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), max("value").as("mx"))
+      .writeStream.format("memory").queryName("graft_rate_sink")
+      .outputMode("complete")
+      .start()
+    try {
+      var n = 0L
+      val deadline = System.currentTimeMillis() + 30000
+      while (n < 100 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val rows = spark.table("graft_rate_sink").collect()
+        if (rows.nonEmpty) n = rows.head.getLong(0)
+      }
+      assert(n >= 100, s"rate source produced only $n rows in 30s")
+      // rate source values are 0..n-1: max must be consistent with count
+      val r = spark.table("graft_rate_sink").collect().head
+      assert(r.getLong(1) < r.getLong(0) + 500)
+    } finally q.stop()
+  }
+}
