@@ -67,6 +67,15 @@ object Multimodal {
     out
   }
 
+  /** Frame sampling: treat the payload as fixed-size frames and keep every
+    * `every`-th — the video-ingest stand-in (sample k frames per clip
+    * before the expensive decode). Runs BEFORE decode so skipped frames
+    * are never decoded, which is the point at scale.
+    */
+  def frameSample(payload: Array[Byte], frameBytes: Int, every: Int): Seq[Array[Byte]] =
+    payload.grouped(frameBytes).zipWithIndex
+      .collect { case (f, i) if i % every == 0 => f }.toSeq
+
   /** The reference mechanism: decode + featurize inside mapPartitions so
     * any per-partition setup (a real decoder context, a model) is paid
     * once per partition, not per row. No shuffle — embarrassingly
@@ -132,6 +141,40 @@ object Multimodal {
                       string_split_regex(text, ''), ch -> ord(ch)),
                       (a, b) -> a + b)) AS BIGINT) / 255.0
                   / CAST(sum(length(text)) AS BIGINT), 6) AS weighted_mean_px
-              FROM documents GROUP BY lang ORDER BY lang"""))
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Frame sampling ahead of decode (every 4th 16-byte frame), per-doc
+    // sampled-frame count + byte sum — embarrassingly parallel flatMap,
+    // zero shuffle before the presentation sort. The oracle re-states the
+    // sampled positions with substr + generate_series (documents are
+    // ASCII, so ord(ch) == byte value — same invariant mm_pipeline uses).
+    Spec("mm_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        corpus(s, d).select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, p) =>
+            val frames = frameSample(p, 16, 4)
+            if (frames.isEmpty) None
+            else Some((id, frames.length.toLong,
+              frames.iterator.map(_.iterator.map(b => (b & 0xff).toLong).sum).sum))
+          })
+          .toDF("doc_id", "n_frames", "byte_sum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+                -- generate_series needs constant bounds: 4095 frames covers
+                -- any document up to 64 KiB (fixture max is ~600 bytes);
+                -- the length predicate drops out-of-range frame indices
+                SELECT doc_id, gs.i AS frame_idx,
+                       substr(text, CAST(gs.i * 16 + 1 AS INT), 16) AS frame
+                FROM documents, generate_series(0, 4095) gs(i)
+                WHERE length(text) > 0 AND gs.i % 4 = 0
+                  AND gs.i < ceil(length(text) / 16.0))
+              SELECT doc_id, count(*) AS n_frames,
+                CAST(sum(list_reduce(list_transform(
+                  string_split_regex(frame, ''), ch -> ord(ch)), (a, b) -> a + b))
+                  AS BIGINT) AS byte_sum
+              FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

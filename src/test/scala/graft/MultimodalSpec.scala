@@ -59,6 +59,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.forall(_.nonEmpty))
   }
 
+  test("frame sampling keeps every k-th fixed-size frame, short tail included") {
+    val p = Array.tabulate[Byte](70)(_.toByte) // 5 frames of 16 (last is 6 bytes)
+    val frames = ops.Multimodal.frameSample(p, 16, 4)
+    assert(frames.length == 2) // indices 0 and 4
+    assert(frames(0).toSeq == (0 until 16).map(_.toByte))
+    assert(frames(1).toSeq == (64 until 70).map(_.toByte))
+    assert(ops.Multimodal.frameSample(Array.empty[Byte], 16, 4).isEmpty)
+    assert(ops.Multimodal.frameSample(Array[Byte](1, 2), 16, 1).length == 1)
+  }
+
   test("pluggable codec: open() amortized once per partition, sessions closed") {
     CountingCodec.reset()
     val parts = ops.Multimodal.corpus(spark, sf).rdd.getNumPartitions
