@@ -81,6 +81,26 @@ object LlmOps {
                SELECT token, count(*) AS n FROM toks
                GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
 
+    // BPE-ish pre-tokenization (GPT-2-shaped regex, simplified to the
+    // Java∩RE2 dialect: no lookahead, ASCII classes — the corpus is
+    // ASCII). Contractions split, words/numbers keep their leading
+    // space, punctuation runs group — the shape a byte-pair encoder
+    // consumes. Per-row regex is codegen'd and embarrassingly parallel;
+    // the count is the usual two-phase hash aggregate.
+    Spec("text_tokenize_bpe",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+        t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token")).limit(50)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS token
+                FROM documents)
+              GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
     Spec("text_stats",
       (s, d) => t(s, d, "documents")
         .withColumn("tok_arr", split(col("text"), " "))
