@@ -11,7 +11,9 @@ object Plans {
   val defaults = Seq(
     "scan_prune", "scan_pushdown", "join_inner_broadcast", "join_inner_shuffle",
     "join_multiway_star", "agg_groupby", "win_running_sum", "topk_global",
-    "sim_cosine_topk", "infer_score", "text_tokenize")
+    "sim_cosine_topk", "infer_score", "text_tokenize",
+    "join_asof_native", "join_range_binned", "join_q3_shipping",
+    "agg_kll_quantiles", "agg_heavy_hitters", "win_rank_scalable")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
