@@ -61,6 +61,22 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(finalDf.where(col("id") === 5).count() == 1)
   }
 
+  test("windowed-agg state is backend-agnostic: RocksDB == default provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = q("stream_tumbling")
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = q("stream_tumbling") // fresh drain, no checkpoint reuse
+      assert(default.exceptAll(rocks).count() == 0)
+      assert(rocks.exceptAll(default).count() == 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rate source feeds an unbounded streaming aggregate") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", 500).option("numPartitions", 2)
