@@ -70,7 +70,10 @@ final class QuantileSketch(val k: Int) extends Serializable {
   }
 
   /** Smallest retained value whose cumulative weight reaches rank q·count. */
-  def quantile(q: Double): Double = {
+  def quantile(q: Double): Double = quantiles(Array(q))(0)
+
+  /** All probes answered against ONE weighted sort of the retained items. */
+  def quantiles(qs: Array[Double]): Array[Double] = {
     val items = ArrayBuffer.empty[(Double, Long)]
     var i = 0
     while (i < levels.length) {
@@ -79,15 +82,19 @@ final class QuantileSketch(val k: Int) extends Serializable {
       i += 1
     }
     val sorted = items.sortBy(_._1)
-    val target = math.max(1L, math.ceil(q * count).toLong)
-    var cum = 0L
-    var idx = 0
-    while (idx < sorted.length) {
-      cum += sorted(idx)._2
-      if (cum >= target) return sorted(idx)._1
-      idx += 1
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * count).toLong)
+      var cum = 0L
+      var idx = 0
+      var ans = if (sorted.nonEmpty) sorted.last._1 else Double.NaN
+      var found = false
+      while (idx < sorted.length && !found) {
+        cum += sorted(idx)._2
+        if (cum >= target) { ans = sorted(idx)._1; found = true }
+        idx += 1
+      }
+      ans
     }
-    if (sorted.nonEmpty) sorted.last._1 else Double.NaN
   }
 
   def serialize(): Array[Byte] = {
@@ -139,13 +146,32 @@ case class KllQuantilesAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QuantileSketch] {
 
-  private lazy val probes: Array[Double] = probesExpr match {
-    case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
-    case e => e.eval(InternalRow.empty) match {
-      case a: ArrayData => a.toDoubleArray()
-      case _ => throw new IllegalArgumentException(
-        "kll_quantiles: probes must be a literal array<double>")
+  // Accept any foldable numeric array — SQL users naturally write
+  // array(0.5, 0.9), which is DECIMAL-typed; coerce element-wise instead
+  // of assuming array<double>.
+  private lazy val probes: Array[Double] = {
+    val (arr, elemType) = probesExpr match {
+      case Literal(a: ArrayData, ArrayType(et, _)) => (a, et)
+      case e => e.eval(InternalRow.empty) match {
+        case a: ArrayData => (a, e.dataType match {
+          case ArrayType(et, _) => et
+          case _ => throw new IllegalArgumentException(
+            "kll_quantiles: probes must be an array of numbers")
+        })
+        case _ => throw new IllegalArgumentException(
+          "kll_quantiles: probes must be a literal array of numbers")
+      }
     }
+    (0 until arr.numElements()).map { i =>
+      arr.get(i, elemType) match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"kll_quantiles: non-numeric probe $other")
+      }
+    }.toArray
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -176,7 +202,7 @@ case class KllQuantilesAgg(
 
   override def eval(buffer: QuantileSketch): Any =
     if (buffer.count == 0L) null
-    else new GenericArrayData(probes.map(buffer.quantile))
+    else new GenericArrayData(buffer.quantiles(probes))
 
   override def serialize(buffer: QuantileSketch): Array[Byte] = buffer.serialize()
   override def deserialize(bytes: Array[Byte]): QuantileSketch =

@@ -203,10 +203,12 @@ object Joins {
               FROM j WHERE rn = 1 ORDER BY event_id""")),
 
     // Same as-of semantics through the native whole-operator path
-    // (graft.plans.AsOfMergeJoinExec: custom LogicalPlan + SparkStrategy +
-    // SparkPlan, single-pass merge after one hash shuffle per side — no
-    // (left × right≤t) row explosion, no window pass). Same oracle as
-    // join_asof; AsOfNativeSpec additionally proves plan + result parity.
+    // (graft.plans: broadcast-index or single-pass merge exec — no
+    // (left × right≤t) row explosion, no window pass). The operator ranks
+    // by the DATE-cast right time it is handed (+ o_orderkey tie-break),
+    // so the oracle ranks by the same date — NOT the raw timestamp —
+    // keeping the two aligned even if order timestamps ever carry a
+    // time-of-day component. AsOfNativeSpec proves plan + result parity.
     Spec("join_asof_native",
       (s, d) => {
         val ev = t(s, d, "events")
@@ -232,7 +234,7 @@ object Joins {
                 SELECT ev.event_id, ev.user_id, ev.ev_date, o.o_orderkey,
                        CAST(o.o_orderdate AS DATE) AS o_date,
                        row_number() OVER (PARTITION BY ev.event_id
-                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                         ORDER BY CAST(o.o_orderdate AS DATE) DESC, o.o_orderkey DESC) AS rn
                 FROM ev JOIN orders o
                   ON o.o_custkey = ev.user_id
                  AND CAST(o.o_orderdate AS DATE) <= ev.ev_date)

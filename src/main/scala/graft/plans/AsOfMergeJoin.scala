@@ -83,11 +83,13 @@ case class AsOfMergeJoinExec(
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-        // rows from the upstream sorter are reused buffers: copy anything
-        // retained across next() calls (the lookahead and the candidate)
-        private def nextRight(): InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
-        private var rHead: InternalRow = nextRight()
+        // The sorter's iterator reuses ONE row buffer, so anything retained
+        // across rIter.next() calls must be copied — but ONLY retained rows
+        // are: the stop-row lookahead and candidate updates. Skipped rows
+        // (null key, key < left key) are never copied, keeping the hot
+        // path allocation-free on right sides dominated by unmatched keys.
+        private var rHead: InternalRow = null // safe (copied) lookahead
+        private var exhausted = false
         private var candidate: InternalRow = null
         private var candKey: Any = null
         private var outRow: InternalRow = null
@@ -98,20 +100,35 @@ case class AsOfMergeJoinExec(
             val lk = lKeyB.eval(l)
             val lt = lTimeB.eval(l)
             if (lk != null && lt != null) {
-              var scan = rHead != null
+              var scan = true
               while (scan) {
-                val rk = rKeyB.eval(rHead)
-                val rt = if (rk == null) null else rTimeB.eval(rHead)
-                val takeOrSkip =
-                  rk == null || keyOrd.compare(rk, lk) < 0 ||
-                    (keyOrd.compare(rk, lk) == 0 &&
-                      (rt == null || timeOrd.compare(rt, lt) <= 0))
-                if (takeOrSkip) {
-                  if (rk != null && rt != null && keyOrd.compare(rk, lk) == 0) {
-                    candidate = rHead; candKey = rk
+                var r: InternalRow = rHead
+                var owned = true // r already a safe copy?
+                if (r == null && !exhausted) {
+                  if (rIter.hasNext) { r = rIter.next(); owned = false }
+                  else exhausted = true
+                }
+                if (r == null) scan = false
+                else {
+                  val rk = rKeyB.eval(r)
+                  val rt = if (rk == null) null else rTimeB.eval(r)
+                  val takeOrSkip =
+                    rk == null || keyOrd.compare(rk, lk) < 0 ||
+                      (keyOrd.compare(rk, lk) == 0 &&
+                        (rt == null || timeOrd.compare(rt, lt) <= 0))
+                  if (takeOrSkip) {
+                    if (rk != null && rt != null && keyOrd.compare(rk, lk) == 0) {
+                      candidate = if (owned) r else r.copy()
+                      // re-evaluate on the safe copy: eval results (e.g.
+                      // UTF8String) may point into the reused raw buffer
+                      candKey = rKeyB.eval(candidate)
+                    }
+                    rHead = null
+                  } else {
+                    rHead = if (owned) r else r.copy()
+                    scan = false
                   }
-                  rHead = nextRight(); scan = rHead != null
-                } else scan = false
+                }
               }
               if (candidate != null && keyOrd.compare(candKey, lk) == 0) {
                 joined(l, candidate)
@@ -171,33 +188,40 @@ case class BroadcastAsOfJoinExec(
     val tieOrds = rightTieBreak.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
     val outAttrs = output
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val cacheKey = (broadcastRows.id, id)
 
     left.execute().mapPartitions({ lIter =>
-      // built once per task; tiny (right side fits the broadcast threshold)
-      val index = new java.util.HashMap[Any, Array[InternalRow]]()
-      val grouped = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
-      broadcastRows.value.foreach { row =>
-        val k = rKeyB.eval(row)
-        if (k != null && rTimeB.eval(row) != null) {
-          var bucket = grouped.get(k)
-          if (bucket == null) { bucket = new java.util.ArrayList[InternalRow](); grouped.put(k, bucket) }
-          bucket.add(row)
-        }
-      }
-      val cmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = {
-          var c = timeOrd.compare(rTimeB.eval(a), rTimeB.eval(b))
-          var i = 0
-          while (c == 0 && i < rTieB.length) {
-            c = tieOrds(i).compare(rTieB(i).eval(a), rTieB(i).eval(b)); i += 1
+      // built once per EXECUTOR per (broadcast, plan) — every subsequent
+      // task on this executor reuses it (computeIfAbsent; entries live as
+      // long as the executor, the same lifetime as the broadcast block
+      // itself). Tiny: the right side fits the broadcast threshold.
+      val index = BroadcastAsOfJoinExec.indexCache.computeIfAbsent(cacheKey, _ => {
+        val grouped = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
+        broadcastRows.value.foreach { row =>
+          val k = rKeyB.eval(row)
+          if (k != null && rTimeB.eval(row) != null) {
+            var bucket = grouped.get(k)
+            if (bucket == null) { bucket = new java.util.ArrayList[InternalRow](); grouped.put(k, bucket) }
+            bucket.add(row)
           }
-          c
         }
-      }
-      grouped.forEach { (k, bucket) =>
-        bucket.sort(cmp)
-        index.put(k, bucket.toArray(new Array[InternalRow](bucket.size())))
-      }
+        val cmp = new java.util.Comparator[InternalRow] {
+          override def compare(a: InternalRow, b: InternalRow): Int = {
+            var c = timeOrd.compare(rTimeB.eval(a), rTimeB.eval(b))
+            var i = 0
+            while (c == 0 && i < rTieB.length) {
+              c = tieOrds(i).compare(rTieB(i).eval(a), rTieB(i).eval(b)); i += 1
+            }
+            c
+          }
+        }
+        val built = new java.util.HashMap[Any, Array[InternalRow]]()
+        grouped.forEach { (k, bucket) =>
+          bucket.sort(cmp)
+          built.put(k, bucket.toArray(new Array[InternalRow](bucket.size())))
+        }
+        built
+      })
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       lIter.flatMap { l =>
@@ -219,6 +243,15 @@ case class BroadcastAsOfJoinExec(
       }
     }, preservesPartitioning = true)
   }
+}
+
+object BroadcastAsOfJoinExec {
+  /** Executor-side cache of built key→sorted-rows indexes, keyed by
+    * (broadcast id, plan id) — one build per executor instead of per task.
+    */
+  private[plans] val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int),
+      java.util.HashMap[Any, Array[InternalRow]]]()
 }
 
 /** Planner strategy for [[AsOfJoinPlan]] — the documented public seam
@@ -263,7 +296,17 @@ object Asof {
     val ls = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureRegistered(ls)
     val lplan = left.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
-    val rplan = right.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    // This plan is assembled from ALREADY-ANALYZED children, so the
+    // analyzer's DeduplicateRelations never sees it: a self-join would
+    // carry the same ExprIds on both sides and break downstream
+    // resolution. Re-aliasing the right side mints fresh ExprIds.
+    val rightDedup =
+      if (lplan.outputSet.intersect(
+          right.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.outputSet).isEmpty)
+        right
+      else right.select(right.columns.toIndexedSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val rplan = rightDedup.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"as-of join: no column '$n' on $side side"))

@@ -97,14 +97,18 @@ class SynthScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
+  // saturating +1 so Long.MaxValue bounds can't wrap to MinValue (a wrap
+  // would silently widen a consumed — never re-checked — filter)
+  private def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (consumed, residual) = filters.partition {
-      case sources.GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1); true
+      case sources.GreaterThan("event_id", v: Long) => lo = math.max(lo, incr(v)); true
       case sources.GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
       case sources.LessThan("event_id", v: Long) => hi = math.min(hi, v); true
-      case sources.LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1); true
+      case sources.LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, incr(v)); true
       case sources.EqualTo("event_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, incr(v)); true
       case _ => false
     }
     pushed = consumed

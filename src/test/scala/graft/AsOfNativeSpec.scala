@@ -82,6 +82,23 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out2 == Set(("x", 90), ("y", 90)))
   }
 
+  test("self as-of join dedups attributes (no duplicate ExprIds)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 5, 50), (1, 10, 100)).toDF("k", "t", "v")
+    val out = graft.plans.Asof.join(df, "k", "t", df, "k", "t")
+    assert(out.columns.length == 6)
+    // distinct ExprIds: positional/dataset-column access resolves cleanly
+    val attrs = out.queryExecution.analyzed.output
+    val ids = attrs.map(_.exprId)
+    assert(ids.distinct.size == ids.size, "duplicate ExprIds in self-join output")
+    // rename positionally (same-name columns are only NAME-ambiguous, as
+    // in any self-join) and verify downstream ops resolve over the output
+    val renamed = out.toDF("k1", "t1", "v1", "k2", "t2", "v2")
+    val rightV = renamed.select("v2").as[Int].collect().sorted
+    assert(out.count() == 2 && rightV.toSeq == Seq(50, 100))
+  }
+
   test("as-of edge semantics on the broadcast path") {
     withThreshold("10485760")(semantics())
   }

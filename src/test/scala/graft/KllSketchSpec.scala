@@ -78,6 +78,15 @@ class KllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("plain decimal probe literals work from SQL (array(0.5, 0.9))") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT kll_quantiles(l_quantity, array(0.5, 0.9)) AS est
+        |FROM lineitem""".stripMargin).head()
+    val est = r.getSeq[Double](0)
+    assert(est.length == 2 && est(0) >= 20 && est(0) <= 30)
+  }
+
   test("declared query agg_kll_quantiles: all bands true") {
     val out = q("agg_kll_quantiles").collect()
     assert(out.length == 3)

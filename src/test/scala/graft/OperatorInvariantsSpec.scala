@@ -18,13 +18,13 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
   }
 
   test("join_range_binned avoids the nested-loop plan (bins → equi join)") {
     val plan = q("join_range_binned").queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), "interval join fell back to BNLJ")
-    val names = SparkEntry.specs.map(_.name)
-    assert(names.distinct.size == names.size, "duplicate query names")
   }
 
   test("join cardinality: semi + anti partition the left table") {

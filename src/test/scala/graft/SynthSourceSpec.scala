@@ -54,6 +54,11 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(mixed.count() == expect)
   }
 
+  test("pushdown saturates at Long boundaries instead of wrapping") {
+    assert(read().where(col("event_id") > Long.MaxValue).count() == 0)
+    assert(read().where(col("event_id") <= Long.MaxValue).count() == 10000)
+  }
+
   test("source rows match the shared generator functions exactly") {
     val local = (0L until 100L).map(id => (id,
       graft.sources.SynthSource.userId(42, id),
