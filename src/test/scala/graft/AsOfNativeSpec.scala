@@ -82,6 +82,17 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out2 == Set(("x", 90), ("y", 90)))
   }
 
+  test("merge path at sf0.01: parity with relational as-of on 8k matches") {
+    withThreshold("-1") {
+      val d = "/root/testdata/sf0.01"
+      val native = SparkEntry.queries("join_asof_native")(spark, d)
+      assert(planOf(native).contains("AsOfMergeJoin"))
+      val rel = SparkEntry.queries("join_asof")(spark, d)
+      assert(native.count() > 5000)
+      assert(native.exceptAll(rel).count() == 0 && rel.exceptAll(native).count() == 0)
+    }
+  }
+
   test("self as-of join dedups attributes (no duplicate ExprIds)") {
     val s = spark
     import s.implicits._
