@@ -77,6 +77,30 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink: arbitrary per-microbatch logic with batch ids") {
+    val base = Files.createTempDirectory("graft_feb_").toFile
+    base.deleteOnExit()
+    val in = new java.io.File(base, "in"); in.mkdirs()
+    val s = spark
+    import s.implicits._
+    Seq(1L, 2L).toDF("id").coalesce(1).write.mode("append").parquet(in.getPath)
+    Seq(3L, 4L, 5L).toDF("id").coalesce(1).write.mode("append").parquet(in.getPath)
+
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema("id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(in.getPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        seen.put(batchId, batch.count()); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.size() == 2, s"expected 2 micro-batches, saw $seen")
+    import scala.jdk.CollectionConverters._
+    assert(seen.values().asScala.sum == 5)
+  }
+
   test("rate source feeds an unbounded streaming aggregate") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", 500).option("numPartitions", 2)
