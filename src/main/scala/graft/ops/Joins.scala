@@ -341,6 +341,35 @@ object Joins {
                GROUP BY supp_nation, cust_nation, l_year
                ORDER BY supp_nation, cust_nation, l_year""")),
 
+    // TPC-H Q17 shape (small-quantity revenue): the correlated-scalar-
+    // subquery form — each lineitem compared against 0.2× its OWN part's
+    // average quantity. Decorrelated the scale-correct way: one aggregate
+    // over the fact keyed by partkey, rejoined (what Catalyst's
+    // RewriteCorrelatedScalarSubquery does internally). The threshold is
+    // exact-sum/count then one multiply — bit-identical across engines.
+    Spec("join_q17_smallqty",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part").where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(((sum("l_quantity") / count(lit(1))) * 0.2).as("small_thresh"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(avgq, col("l_partkey") === col("a_partkey"))
+          .where(col("l_quantity") < col("small_thresh"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small"), msum(col("l_extendedprice")).as("small_revenue"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n_small,
+                 ${msumSql("l_extendedprice")} AS small_revenue
+               FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+               WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+                 AND l_quantity < (
+                   SELECT sum(l_quantity) / count(*) * 0.2
+                   FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+               GROUP BY p_brand ORDER BY p_brand""")),
+
     // TPC-H Q10 shape (returned-item reporting): quarter of returns per
     // customer, top-20 by lost revenue — dims broadcast, one fact-fact
     // shuffle, TakeOrderedAndProject for the limit.
