@@ -83,7 +83,8 @@ class SynthTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 }
 
 class SynthScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private val rows = options.getLong("rows", 100000L)
   private val numPartitions = options.getInt("numPartitions", 8)
@@ -96,6 +97,14 @@ class SynthScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
+
+  // LIMIT n without ORDER BY may return ANY n rows, and this source is a
+  // deterministic id range — truncating the range is a complete pushdown
+  // (return true: Spark can drop its own Limit for the scan's rows).
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
 
   // saturating +1 so Long.MaxValue bounds can't wrap to MinValue (a wrap
   // would silently widen a consumed — never re-checked — filter)
@@ -124,11 +133,22 @@ class SynthScanBuilder(options: CaseInsensitiveStringMap)
 case class SynthInputPartition(start: Long, end: Long, seed: Long) extends InputPartition
 
 class SynthScan(rows: Long, numPartitions: Int, seed: Long,
-                required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+                required: StructType, lo: Long, hi: Long)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_synth rows=$rows range=[$lo,$hi) partitions=$numPartitions"
+
+  // post-pushdown stats: lets Catalyst/AQE size-plan joins over this
+  // source (broadcast the synth side when the pruned range is small)
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val rowBytes = required.fields.map(_.dataType.defaultSize + 1L).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * rowBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
 
   // split the FULL id space evenly, then plan only splits intersecting
   // the pushed range — split skipping, the partition-pruning analogue

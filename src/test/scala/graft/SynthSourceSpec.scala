@@ -54,6 +54,25 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(mixed.count() == expect)
   }
 
+  test("limit pushdown truncates the planned range (no full-scan LIMIT)") {
+    val df = read().limit(100)
+    assert(df.count() == 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,100)"), plan)
+    // limit composes with a pushed lower bound
+    val shifted = read().where(col("event_id") >= 5000L).limit(10)
+    assert(shifted.count() == 10)
+    assert(shifted.queryExecution.executedPlan.toString.contains("range=[5000,5010)"))
+  }
+
+  test("reported statistics let Catalyst broadcast a pruned synth side") {
+    val small = read(rows = 50, parts = 2)
+    val li = Tables.t(spark, sf, "lineitem").limit(1000)
+    val joined = li.join(small, li("l_orderkey") === small("event_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("pushdown saturates at Long boundaries instead of wrapping") {
     assert(read().where(col("event_id") > Long.MaxValue).count() == 0)
     assert(read().where(col("event_id") <= Long.MaxValue).count() == 10000)
