@@ -146,6 +146,16 @@ object Fns {
                 greatest(o_totalprice, 100000.0) AS floored
               FROM orders ORDER BY o_orderkey""")),
 
+    // Cryptographic digests — content-addressing / dedup keys at corpus
+    // scale. Both engines emit lowercase hex for md5 and sha-256.
+    Spec("fn_hash_digest",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+              FROM documents ORDER BY doc_id""")),
+
     // Clean-value casts only; double→int goes through floor (DuckDB's direct
     // cast rounds, Spark's truncates).
     Spec("fn_cast",

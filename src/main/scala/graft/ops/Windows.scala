@@ -143,6 +143,43 @@ object Windows {
                 cume_dist() OVER (ORDER BY s_acctbal, s_suppkey) AS cd
               FROM supplier ORDER BY s_suppkey""")),
 
+    // Batch sessionization (gaps-and-islands): lag-detected session breaks
+    // + running sum as session ids — the BATCH twin of stream_session
+    // (same 5-min gap, same session-end = last + gap convention, same
+    // oracle shape). One shuffle on user_id; sessions never straddle the
+    // key partition, so this scales with user cardinality like any window.
+    Spec("win_sessionize",
+      (s, d) => {
+        val gapUs = 300000000L // 5 minutes
+        val e = events(s, d).select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("brk",
+            when(lag("tus", 1).over(w).isNull ||
+              col("tus") - lag("tus", 1).over(w) >= gapUs, 1).otherwise(0))
+          .withColumn("grp", sum("brk").over(run))
+          .groupBy("user_id", "grp")
+          .agg(min("tus").as("ss_us"), (max("tus") + gapUs).as("se_us"),
+            count(lit(1)).as("n"))
+          .select("user_id", "ss_us", "se_us", "n")
+          .orderBy("user_id", "ss_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+              dif AS (
+                SELECT user_id, tus,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+              g AS (
+                SELECT user_id, tus,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM dif)
+              SELECT user_id, min(tus) AS ss_us, max(tus) + 300000000 AS se_us,
+                count(*) AS n
+              FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
+
     // Scalable GLOBAL rank/percent_rank over a fact table — the two-pass
     // rewrite for the one window shape that cannot partition by a key
     // (win_percentiles' unpartitioned window is fine on a dim table but
