@@ -146,6 +146,25 @@ object Fns {
                 greatest(o_totalprice, 100000.0) AS floored
               FROM orders ORDER BY o_orderkey""")),
 
+    // Bitwise ops — hash-bucket / bitmap arithmetic parity. Shifts keep
+    // non-negative operands so arithmetic-vs-logical shift never differs.
+    Spec("fn_bitwise",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          (col("event_id").bitwiseAND(255L)).as("low8"),
+          (col("event_id").bitwiseOR(lit(4096L))).as("with_flag"),
+          (col("event_id").bitwiseXOR(col("user_id"))).as("xored"),
+          shiftright(col("event_id"), 4).as("shr4"),
+          shiftleft(col("event_id").bitwiseAND(15L), 2).as("shl2"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                event_id & 255 AS low8,
+                event_id | 4096 AS with_flag,
+                xor(event_id, user_id) AS xored,
+                event_id >> 4 AS shr4,
+                (event_id & 15) << 2 AS shl2
+              FROM events ORDER BY event_id""")),
+
     // Cryptographic digests — content-addressing / dedup keys at corpus
     // scale. Both engines emit lowercase hex for md5 and sha-256.
     Spec("fn_hash_digest",
