@@ -24,6 +24,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // range-join auto-binning (Rule[LogicalPlan], operator-optimization batch)
+    ext.injectOptimizerRule(_ => new graft.plans.RangeBinJoinRule)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "dot_product"),

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event/product-analytics operators over `events` + `lineitem` — the
+  * query shapes a behavioural-analytics user of the engine runs daily
+  * (funnels, cohort retention, histograms, wide→long reshaping, binary
+  * encodings). All oracle-checked; every output column is either integral,
+  * exact-decimal-derived, or a deterministic single IEEE op.
+  *
+  * Scale notes per query inline; none shuffles more than the keyed
+  * aggregates/joins require, and nothing materializes per-user state
+  * beyond hash-aggregate groups.
+  */
+object Analytics {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // Conversion funnel: for each user, first click, then first purchase
+    // at-or-after that click; one summary row. Two keyed hash aggregates +
+    // one keyed join — every stage is partial-aggregated map-side, the
+    // user_id shuffle is the only exchange and AQE plans the join. Lag sum
+    // is exact integer microseconds (no float drift).
+    Spec("evt_funnel",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val per = e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "click", col("ts"))).as("c_ts"))
+        val pa = e.join(per, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        per.join(pa, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_users"),
+            count(col("c_ts")).as("n_clicked"),
+            count(col("p_ts")).as("n_converted"),
+            sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+              .cast("long").as("total_lag_us"))
+      },
+      Some("""WITH per AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+                FROM events GROUP BY user_id),
+              pa AS (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN per ON e.user_id = per.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= per.c_ts
+                GROUP BY e.user_id)
+              SELECT count(*) AS n_users, count(c_ts) AS n_clicked,
+                     count(p_ts) AS n_converted,
+                     CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS total_lag_us
+              FROM per LEFT JOIN pa ON per.user_id = pa.user_id""")),
+
+    // Weekly cohort retention: cohort = a user's first active epoch-week;
+    // cells count distinct users active at each week offset. Epoch-day
+    // arithmetic (not date_trunc) so both engines bucket identically.
+    // Two user_id-keyed aggregates + a join, then a (cohort, offset)
+    // aggregate — all hash-partial; distinct-count expands to the standard
+    // two-phase plan.
+    Spec("evt_cohort_retention",
+      (s, d) => {
+        val ew = t(s, d, "events").select(col("user_id"),
+          floor(unix_date(to_date(col("ts"))) / 7).cast("long").as("wk"))
+        val cohort = ew.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        ew.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH ew AS (
+                SELECT user_id,
+                       CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+                FROM events),
+              c AS (SELECT user_id, min(wk) AS cohort_wk FROM ew GROUP BY user_id)
+              SELECT c.cohort_wk, ew.wk - c.cohort_wk AS offset_wk,
+                     count(DISTINCT ew.user_id) AS n_active
+              FROM ew JOIN c ON ew.user_id = c.user_id
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Fixed-width value histogram: floor-binning keeps both engines on the
+    // same bucket; min/max are exact on identical doubles, the sum is
+    // decimal-exact. One hash aggregate — the 100 TB shape.
+    Spec("evt_histogram",
+      (s, d) => t(s, d, "events")
+        .groupBy(floor(col("value") / 16).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_v"),
+          min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("bin"),
+      Some(s"""SELECT CAST(floor("value" / 16) AS BIGINT) AS bin, count(*) AS n,
+                 ${msumSql("value")} AS sum_v,
+                 min("value") AS min_v, max("value") AS max_v
+               FROM events GROUP BY bin ORDER BY bin""")),
+
+    // Wide→long reshape via the DataFrame unpivot (melt) operator; oracle
+    // states the same relation as a UNION ALL. Unpivot is a per-row
+    // flatMap — no shuffle beyond the feeding aggregate.
+    Spec("agg_unpivot",
+      (s, d) => {
+        val base = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(msum(col("l_quantity")).as("qty"),
+            msum(col("l_extendedprice")).as("price"))
+        base.unpivot(Array(col("l_returnflag")),
+            Array(col("qty"), col("price")), "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some(s"""WITH b AS (
+                 SELECT l_returnflag, ${msumSql("l_quantity")} AS qty,
+                        ${msumSql("l_extendedprice")} AS price
+                 FROM lineitem GROUP BY l_returnflag)
+               SELECT l_returnflag, 'qty' AS metric, qty AS value FROM b
+               UNION ALL
+               SELECT l_returnflag, 'price' AS metric, price AS value FROM b
+               ORDER BY l_returnflag, metric""")),
+
+    // Binary encodings: hex + base64 of UTF-8 bytes, plus a decode
+    // round-trip proof column. Pure per-row codegen'd expressions.
+    Spec("fn_encode",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          hex(col("c_name")).as("name_hex"),
+          base64(col("c_name").cast("binary")).as("name_b64"),
+          (decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8")
+            === col("c_name")).as("roundtrip_ok"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, hex(c_name) AS name_hex,
+                     to_base64(encode(c_name)) AS name_b64,
+                     decode(from_base64(to_base64(encode(c_name)))) = c_name AS roundtrip_ok
+              FROM customer ORDER BY c_custkey"""))
+  )
+}

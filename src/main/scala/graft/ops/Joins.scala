@@ -162,6 +162,36 @@ object Joins {
                FROM events JOIN bands ON value >= lo AND value < hi
                GROUP BY band_id ORDER BY band_id""")),
 
+    // Same interval join written as the NATURAL theta join — no manual
+    // binning. graft.plans.RangeBinJoinRule (Rule[LogicalPlan], the
+    // injectOptimizerRule seam) detects the pure range predicate and
+    // derives the binned equi-join automatically, so the plan is
+    // NestedLoop-free (asserted in RangeBinJoinSpec) while the query text
+    // stays declarative. Oracle identical to join_range_binned.
+    Spec("join_range_auto",
+      (s, d) => {
+        graft.plans.RangeBinJoin.ensureRegistered(s)
+        import s.implicits._
+        val bands = Seq(
+          (0, 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 4.0, 8.0),
+          (4, 8.0, 16.0), (5, 16.0, 32.0), (6, 32.0, 64.0),
+          (7, 64.0, 128.0), (8, 128.0, 256.0), (9, 256.0, 512.0))
+          .toDF("band_id", "lo", "hi")
+        t(s, d, "events")
+          .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_events"), msum(col("value")).as("total_value"))
+          .orderBy("band_id")
+      },
+      Some(s"""WITH bands(band_id, lo, hi) AS (VALUES
+                 (0, 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 4.0, 8.0),
+                 (4, 8.0, 16.0), (5, 16.0, 32.0), (6, 32.0, 64.0),
+                 (7, 64.0, 128.0), (8, 128.0, 256.0), (9, 256.0, 512.0))
+               SELECT band_id, count(*) AS n_events,
+                 ${msumSql("value")} AS total_value
+               FROM events JOIN bands ON value >= lo AND value < hi
+               GROUP BY band_id ORDER BY band_id""")),
+
     // As-of join: per event, the latest order of customer=user_id with
     // o_orderdate <= an event-derived date. No native as-of in Spark SQL;
     // the portable shape (identical on both engines, SURVEY.md §2 C) is a
@@ -398,6 +428,36 @@ object Joins {
                  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
                  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
                GROUP BY c_custkey, c_name, c_acctbal, n_name
-               ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q18 shape (large-volume orders): the IN-(group-having)
+    // subquery decorrelated into aggregate-then-join — one shuffle on
+    // l_orderkey for the aggregate, an orderkey-co-keyed join back to
+    // orders (SMJ under AQE), customer dim broadcast. The quantity sum is
+    // decimal-exact so the >200 cut is identical on both engines.
+    Spec("join_q18_bigorders",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val big = li.groupBy("l_orderkey")
+          .agg(msum(col("l_quantity")).as("total_qty"))
+          .where(col("total_qty") > 200)
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_date"),
+            col("total_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH big AS (
+                 SELECT l_orderkey, ${msumSql("l_quantity")} AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING ${msumSql("l_quantity")} > 200)
+               SELECT c_custkey, c_name, o_orderkey,
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, total_qty
+               FROM big
+                 JOIN orders   ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+               ORDER BY o_orderkey"""))
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.RangeBinJoinRule — auto-binning of pure range joins. */
+class RangeBinJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executedPlan(df: DataFrame): String =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+
+  private def withRule[A](enabled: Boolean)(body: => A): A = {
+    spark.conf.set("spark.graft.rangeBinJoin.enabled", enabled.toString)
+    try body finally spark.conf.set("spark.graft.rangeBinJoin.enabled", "true")
+  }
+
+  private def points = Seq(
+    (1L, 0.5), (2L, 3.9), (3L, 4.0), (4L, 100.0), (5L, 511.9),
+    (6L, -3.2), (7L, 512.0)).toDF("pid", "v")
+      .unionAll(Seq((8L, Option.empty[Double])).toDF("pid", "v"))
+
+  private def intervals = Seq(
+    (10L, 0.0, 4.0), (11L, 4.0, 8.0), (12L, 90.0, 200.0),
+    (13L, -10.0, 0.0), (14L, 500.0, 600.0),
+    (15L, 7.0, 2.0) // degenerate lo > hi: must match nothing
+  ).toDF("iid", "lo", "hi")
+      .unionAll(Seq((16L, Option.empty[Double], Option(5.0))).toDF("iid", "lo", "hi"))
+
+  private def rangeJoin(p: DataFrame, i: DataFrame): DataFrame =
+    p.join(i, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+
+  test("rewritten plan is NestedLoop-free and matches the rule-off result") {
+    val on = rangeJoin(points, intervals)
+    val planOn = executedPlan(on)
+    assert(!planOn.contains("NestedLoopJoin"), s"rule did not fire:\n$planOn")
+    assert(planOn.contains("Generate"), s"no bin explode in plan:\n$planOn")
+    val expected = withRule(enabled = false) {
+      val off = rangeJoin(points, intervals)
+      assert(executedPlan(off).contains("NestedLoopJoin"))
+      off.collect().toSeq
+    }
+    assert(on.collect().toSeq == expected)
+    // nulls and the degenerate (lo > hi) interval excluded; negatives match
+    val pairs = expected.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L),
+      (5L, 14L), (6L, 13L), (7L, 14L)))
+  }
+
+  test("bin width does not change the result") {
+    val base = rangeJoin(points, intervals).collect().toSeq
+    for (w <- Seq("0.7", "3.0", "64.0", "10000.0")) {
+      spark.conf.set("spark.graft.rangeBinJoin.binWidth", w)
+      try assert(rangeJoin(points, intervals).collect().toSeq == base, s"width $w")
+      finally spark.conf.unset("spark.graft.rangeBinJoin.binWidth")
+    }
+  }
+
+  test("mirrored orientation (intervals on the left) also rewrites") {
+    val j = intervals.join(points, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    assert(!executedPlan(j).contains("NestedLoopJoin"))
+    assert(j.collect().toSeq ==
+      rangeJoin(points, intervals).collect().toSeq)
+  }
+
+  test("joins with an equi conjunct are left alone") {
+    val i2 = intervals.withColumn("k", col("iid") % 2)
+    val p2 = points.withColumn("k", col("pid") % 2)
+    val j = p2.join(i2, p2("k") === i2("k") && col("v") >= col("lo") && col("v") < col("hi"))
+    val plan = executedPlan(j)
+    assert(!plan.contains("Generate"), s"rule fired on an equi join:\n$plan")
+    j.collect() // still executes
+  }
+
+  test("strict and inclusive bound variants agree with rule off") {
+    val conds = Seq(
+      col("v") > col("lo") && col("v") <= col("hi"),
+      col("lo") <= col("v") && col("hi") > col("v"))
+    for (c <- conds) {
+      val on = points.join(intervals, c).select("pid", "iid").orderBy("pid", "iid")
+      assert(!executedPlan(on).contains("NestedLoopJoin"))
+      val off = withRule(enabled = false) {
+        points.join(intervals, c).select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      }
+      assert(on.collect().toSeq == off)
+    }
+  }
+
+  test("extension-injected rule serves SQL text too") {
+    points.createOrReplaceTempView("rb_points")
+    intervals.createOrReplaceTempView("rb_intervals")
+    val df = spark.sql(
+      """SELECT pid, iid FROM rb_points JOIN rb_intervals
+        |ON v >= lo AND v < hi ORDER BY pid, iid""".stripMargin)
+    assert(!executedPlan(df).contains("NestedLoopJoin"))
+    assert(df.collect().length == 7)
+  }
+}
