@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DotProductExpr(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim expects 2 arguments (array<float>, array<float>), got ${exprs.length}")
+        graft.functions.CosineSimExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantilesAgg].getName, "kll_quantiles"),
       graft.functions.KllQuantilesAgg.builder _))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Spec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event/product-analytics operators over `events` + `lineitem` — the
@@ -126,6 +127,108 @@ object Analytics {
       Some("""SELECT c_custkey, hex(c_name) AS name_hex,
                      to_base64(encode(c_name)) AS name_b64,
                      decode(from_base64(to_base64(encode(c_name)))) = c_name AS roundtrip_ok
-              FROM customer ORDER BY c_custkey"""))
+              FROM customer ORDER BY c_custkey""")),
+
+    // Fixed-window document chunking with overlap (size 128, stride 96) —
+    // the standard training-data prep step before tokenization. Spark side
+    // derives the chunk count PER ROW (sequence to floor((len-1)/stride)):
+    // a pure per-row explode, no shuffle, no corpus-wide constant — the
+    // 100 TB shape. The oracle uses a generous constant series + filter
+    // only because DuckDB's generate_series needs constant bounds.
+    Spec("text_chunk",
+      (s, d) => {
+        val size = 128; val stride = 96
+        val doc = t(s, d, "documents")
+        doc.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0),
+              floor((length(col("text")) - 1) / stride).cast("long"))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            col("text").substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id, i AS chunk_id, substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk,
+                     length(substr(text, CAST(i * 96 + 1 AS INT), 128)) AS chunk_len
+              FROM documents
+                CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i) s
+              WHERE i * 96 < length(text)
+              ORDER BY doc_id, chunk_id""")),
+
+    // Statistical mode per group, deterministic: count + window top-1 with
+    // an explicit value tie-break (engine-native mode() functions break
+    // ties arbitrarily — ungradeable and irreproducible). Count is a
+    // two-phase hash aggregate; the window partitions by group.
+    Spec("agg_mode",
+      (s, d) => {
+        val cnt = t(s, d, "lineitem").groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("n"), asc("l_quantity"))
+        cnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cnt AS (
+                SELECT l_returnflag, l_quantity, count(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY n DESC, l_quantity) AS rn
+                FROM cnt)
+              SELECT l_returnflag, l_quantity AS mode_qty, n
+              FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // posexplode (ordinal-preserving UDTF): first five tokens of each
+    // document with their positions. Spark emits (pos, tok) natively;
+    // DuckDB reconstructs ordinals via a constant series + 1-based list
+    // index (no WITH ORDINALITY support).
+    Spec("fn_posexplode",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)))
+        .withColumnRenamed("col", "tok")
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, i AS pos, str_split(text, ' ')[i + 1] AS tok
+              FROM documents
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) s
+              WHERE i < least(5, len(str_split(text, ' ')))
+              ORDER BY doc_id, pos""")),
+
+    // Brute-force cosine top-5 through the FUSED native expression
+    // (functions/CosineSimExpr): dot + both norms in one codegen'd array
+    // pass, vs. the three-traversal HOF chain of sim_cosine_topk. Same
+    // broadcast-probe ∥ scan shape (zero shuffle), same top-k window, and
+    // bit-identical numerics — the oracle is sim_cosine_topk's.
+    Spec("sim_cosine_fused",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val p = v.where(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+        val w = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        v.join(broadcast(p), col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"),
+            round(expr("cosine_sim(p_emb, embedding)"), 6).as("cosine"))
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+          .select("p_id", "rnk", "vec_id", "cosine")
+          .orderBy("p_id", "rnk")
+      },
+      Some("""WITH emb2 AS (
+                SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+                FROM embeddings),
+              cosv AS (
+                SELECT p.vec_id AS p_id, v.vec_id,
+                  round(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+                    / (p.nrm * v.nrm), 6) AS cosine
+                FROM emb2 p JOIN emb2 v ON v.vec_id <> p.vec_id
+                WHERE p.vec_id < 5)
+              SELECT p_id, rnk, vec_id, cosine FROM (
+                SELECT p_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, vec_id) AS rnk
+                FROM cosv) WHERE rnk <= 5
+              ORDER BY p_id, rnk"""))
   )
 }
