@@ -44,6 +44,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
   override def nullable: Boolean = true
 
+  // NULL elements poison the result (the HOF fold's acc+NULL=NULL), so
+  // fused and unfused stay bit-identical on every input, not just clean ones.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -53,6 +55,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getFloat(i).toDouble
         val yv = y.getFloat(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -78,11 +81,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -36,7 +36,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   // Length mismatch → NULL, matching the zip_with+aggregate HOF chain
-  // (zip_with pads the shorter side with nulls, which poisons the fold).
+  // (zip_with pads the shorter side with nulls, which poisons the fold);
+  // a NULL element likewise poisons the whole fold (acc+NULL=NULL).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,7 +46,11 @@ case class DotProductExpr(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       acc
     }
   }
@@ -62,9 +67,12 @@ case class DotProductExpr(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
 object Analytics {
   import Tables._
 
+  /** Overlapping fixed-window chunking of (doc_id, text) rows — shared by
+    * the text_chunk Spec and edge-case tests. greatest() guards the
+    * empty-document edge (sequence(0,-1) would emit a DESCENDING [0,-1]);
+    * the start<len filter then drops the empty doc's chunk 0, mirroring
+    * the oracle's filter exactly.
+    */
+  def chunkDocs(doc: DataFrame, size: Int = 128, stride: Int = 96): DataFrame =
+    doc.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(lit(0L),
+          floor((length(col("text")) - 1) / stride).cast("long")))).as("chunk_id"))
+      .where(col("chunk_id") * stride < length(col("text")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("text").substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy("doc_id", "chunk_id")
+
   val all: Seq[Spec] = Seq(
     // Conversion funnel: for each user, first click, then first purchase
     // at-or-after that click; one summary row. Two keyed hash aggregates +
@@ -136,21 +152,13 @@ object Analytics {
     // 100 TB shape. The oracle uses a generous constant series + filter
     // only because DuckDB's generate_series needs constant bounds.
     Spec("text_chunk",
-      (s, d) => {
-        val size = 128; val stride = 96
-        val doc = t(s, d, "documents")
-        doc.select(col("doc_id"), col("text"),
-            explode(sequence(lit(0),
-              floor((length(col("text")) - 1) / stride).cast("long"))).as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id"),
-            col("text").substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
-          .withColumn("chunk_len", length(col("chunk")))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, d) => chunkDocs(t(s, d, "documents")),
+      // series bound 255 supports docs to 24 576 chars — 40× the longest
+      // fixture text at any sf; ChunkOracleBoundSpec asserts the headroom
       Some("""SELECT doc_id, i AS chunk_id, substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk,
                      length(substr(text, CAST(i * 96 + 1 AS INT), 128)) AS chunk_len
               FROM documents
-                CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
               WHERE i * 96 < length(text)
               ORDER BY doc_id, chunk_id""")),
 

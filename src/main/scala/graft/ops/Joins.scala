@@ -171,6 +171,9 @@ object Joins {
     Spec("join_range_auto",
       (s, d) => {
         graft.plans.RangeBinJoin.ensureRegistered(s)
+        // binning is OPT-IN: the rule fires only for sessions that set an
+        // explicit bin width (~ median interval width of THESE bands)
+        s.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
         import s.implicits._
         val bands = Seq(
           (0, 0.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 4.0, 8.0),

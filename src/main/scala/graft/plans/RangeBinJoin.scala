@@ -36,10 +36,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * (`Greatest` guards Sequence against a negative range) whose joined
   * rows the residual predicate then rejects.
   *
-  * Config: `spark.graft.rangeBinJoin.enabled` (default true) and
-  * `spark.graft.rangeBinJoin.binWidth` (default 8.0; pick ~ the median
-  * interval width — too small explodes the interval side, too large
-  * degrades to the cartesian behaviour within a bin).
+  * Config — the rewrite is OPT-IN per session: it fires only when
+  * `spark.graft.rangeBinJoin.binWidth` is explicitly set (mirroring the
+  * bin-size parameter that range-join hints take in other engines).
+  * There is no safe universal default: bins-per-interval is
+  * `(hi-lo)/width + 1`, so a width far below the interval scale would
+  * replicate the interval side arbitrarily — the user who knows the
+  * interval distribution picks ~ the median width. A session that never
+  * sets the conf never has a plan changed. `spark.graft.rangeBinJoin
+  * .enabled=false` force-disables without unsetting the width. Malformed
+  * conf values disable the rule (never break unrelated queries).
   *
   * The rewritten join carries the bin equality, so the rule never
   * re-matches its own output (fixpoint-safe in the operator-optimization
@@ -48,9 +54,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.rangeBinJoin.enabled", "true").toBoolean
-  private def binWidth: Double =
-    conf.getConfString("spark.graft.rangeBinJoin.binWidth", "8.0").toDouble
+    conf.getConfString("spark.graft.rangeBinJoin.enabled", "true")
+      .toBooleanOption.getOrElse(false)
+  private def binWidth: Option[Double] =
+    conf.getConfString("spark.graft.rangeBinJoin.binWidth", "")
+      .toDoubleOption.filter(w => w > 0 && !w.isInfinite)
 
   /** (point, bound) if `e` is a lower/upper bound comparison between one
     * side's numeric expression and the other side's, else None.
@@ -85,8 +93,10 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     Floor(new Divide(Cast(e, DoubleType), Literal(w))) // LongType
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled || !(binWidth > 0) || binWidth.isInfinite) return plan
-    val w = binWidth
+    val w = binWidth match {
+      case Some(v) if enabled => v
+      case _ => return plan
+    }
     plan transform {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint)
           if j.resolved && cond.deterministic =>
@@ -114,18 +124,23 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             case Some((p, lo, hi, pointIsLeft)) =>
               val pointAlias = Alias(bin(p, w), "graft_bin_p")()
               val genAttr = AttributeReference("graft_bin_i", LongType, nullable = false)()
-              val binLo = bin(lo, w)
+              // bin(lo)/bin(hi) are aliased in a Project below the Generate
+              // so each is evaluated ONCE per interval row, not once per
+              // Sequence operand reference
+              val binLoAlias = Alias(bin(lo, w), "graft_bin_lo")()
+              val binHiAlias = Alias(bin(hi, w), "graft_bin_hi")()
               // Sequence is TimeZoneAwareExpression: stays UNRESOLVED with
               // timeZoneId=None (the analyzer normally fills it; optimizer
               // rules must do it themselves)
-              val seq = new Sequence(binLo,
-                Greatest(Seq(binLo, bin(hi, w))), Some(Literal(1L)),
-                Some(conf.sessionLocalTimeZone))
+              val seq = new Sequence(binLoAlias.toAttribute,
+                Greatest(Seq(binLoAlias.toAttribute, binHiAlias.toAttribute)),
+                Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
               def wrapPoint(side: LogicalPlan) =
                 Project(side.output :+ pointAlias, side)
               def wrapIntervals(side: LogicalPlan) =
                 Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-                  qualifier = None, generatorOutput = Seq(genAttr), child = side)
+                  qualifier = None, generatorOutput = Seq(genAttr),
+                  child = Project(side.output :+ binLoAlias :+ binHiAlias, side))
               val (newLeft, newRight) =
                 if (pointIsLeft) (wrapPoint(left), wrapIntervals(right))
                 else (wrapIntervals(left), wrapPoint(right))

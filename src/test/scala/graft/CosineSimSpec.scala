@@ -23,7 +23,23 @@ class CosineSimSpec extends AnyFunSuite {
         (aggregate(zip_with(col("p_emb"), col("embedding"),
           (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
           / (norm("p_emb") * norm("embedding"))).as("hof"))
-    assert(both.where(col("fused") =!= col("hof")).count() == 0)
+    // null-safe inequality: a NULL-vs-number divergence must fail, not filter out
+    assert(both.where(!(col("fused") <=> col("hof"))).count() == 0)
+  }
+
+  test("a NULL element poisons cosine_sim exactly like the HOF fold") {
+    graft.functions.CosineSimExpr.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(a, b) AS fused,
+                aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                  / (sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                   * sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS hof
+         FROM VALUES (array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+                      array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(a, b)""").head
+    assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
   test("cosine_sim is null on null input and length mismatch") {

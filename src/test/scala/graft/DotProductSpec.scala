@@ -19,7 +19,16 @@ class DotProductSpec extends AnyFunSuite {
         expr("dot_product(p_emb, embedding)").as("native"),
         aggregate(zip_with(col("p_emb"), col("embedding"),
           (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x).as("hof"))
-    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    // null-safe inequality: a NULL-vs-number divergence must fail, not filter out
+    assert(both.where(!(col("native") <=> col("hof"))).count() == 0)
+  }
+
+  test("a NULL element poisons dot_product exactly like the HOF fold") {
+    graft.functions.DotProductExpr.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+                            array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d""").head
+    assert(r.isNullAt(0))
   }
 
   test("dot_product handles nulls like a strict binary expression") {

@@ -7,7 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** graft.plans.RangeBinJoinRule — auto-binning of pure range joins. */
 class RangeBinJoinSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // the rewrite is opt-in: fires only with an explicit bin width
+    s.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+    s
+  }
   import spark.implicits._
 
   private def executedPlan(df: DataFrame): String =
@@ -56,7 +61,31 @@ class RangeBinJoinSpec extends AnyFunSuite {
     for (w <- Seq("0.7", "3.0", "64.0", "10000.0")) {
       spark.conf.set("spark.graft.rangeBinJoin.binWidth", w)
       try assert(rangeJoin(points, intervals).collect().toSeq == base, s"width $w")
-      finally spark.conf.unset("spark.graft.rangeBinJoin.binWidth")
+      finally spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+    }
+  }
+
+  test("no explicit bin width -> rule never fires (opt-in contract)") {
+    spark.conf.unset("spark.graft.rangeBinJoin.binWidth")
+    try {
+      val plan = executedPlan(rangeJoin(points, intervals))
+      assert(plan.contains("NestedLoopJoin") && !plan.contains("Generate"))
+    } finally spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+  }
+
+  test("malformed conf values disable the rule instead of failing queries") {
+    for ((k, v) <- Seq(("spark.graft.rangeBinJoin.binWidth", "8px"),
+        ("spark.graft.rangeBinJoin.binWidth", "-2"),
+        ("spark.graft.rangeBinJoin.enabled", "yes"))) {
+      spark.conf.set(k, v)
+      try {
+        // unrelated query still runs AND the range join still executes
+        assert(Tables.t(spark, TestSpark.sf, "region").count() == 5)
+        rangeJoin(points, intervals).collect()
+      } finally {
+        spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+        spark.conf.unset("spark.graft.rangeBinJoin.enabled")
+      }
     }
   }
 
