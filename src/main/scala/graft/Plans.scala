@@ -13,7 +13,9 @@ object Plans {
     "join_multiway_star", "agg_groupby", "win_running_sum", "topk_global",
     "sim_cosine_topk", "infer_score", "text_tokenize",
     "join_asof_native", "join_range_binned", "join_q3_shipping",
-    "agg_kll_quantiles", "agg_heavy_hitters", "win_rank_scalable")
+    "agg_kll_quantiles", "agg_heavy_hitters", "win_rank_scalable",
+    "join_range_auto", "join_q18_bigorders", "sim_cosine_fused",
+    "evt_funnel", "evt_cohort_retention", "text_chunk")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -15,7 +15,7 @@ object SparkEntry {
       ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++
       ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
       ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++
-      ops.Analytics.all
+      ops.Analytics.all ++ ops.TypedAggs.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MemSink
+
+/** DSv2 write connector: append/overwrite via the V2 protocol, task
+  * fan-out, and all-or-nothing commit on failure.
+  */
+class MemSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = spark.range(0, 1000).toDF("id")
+    .withColumn("label", concat(lit("row"), col("id")))
+    .repartition(4)
+
+  test("append writes all task partitions exactly once") {
+    MemSink.clear("t1")
+    df.write.format("graft.sources.MemSink").option("name", "t1")
+      .mode("append").save()
+    val rows = MemSink.rows("t1")
+    assert(rows.length == 1000)
+    assert(rows.map(_.head.asInstanceOf[Long]).sorted == (0L until 1000L))
+    assert(MemSink.schemaOf("t1").get.fieldNames.toSeq == Seq("id", "label"))
+
+    df.write.format("graft.sources.MemSink").option("name", "t1")
+      .mode("append").save()
+    assert(MemSink.rows("t1").length == 2000)
+  }
+
+  test("overwrite mode truncates through SupportsTruncate") {
+    MemSink.clear("t2")
+    df.write.format("graft.sources.MemSink").option("name", "t2")
+      .mode("append").save()
+    df.limit(10).write.format("graft.sources.MemSink").option("name", "t2")
+      .mode("overwrite").save()
+    assert(MemSink.rows("t2").length == 10)
+  }
+
+  test("a failed job commits nothing (all-or-nothing batch commit)") {
+    MemSink.clear("t3")
+    df.write.format("graft.sources.MemSink").option("name", "t3")
+      .mode("append").save()
+    val before = MemSink.rows("t3")
+    val boom = df.withColumn("id",
+      when(col("id") === 997, expr("raise_error('task failure')").cast("long"))
+        .otherwise(col("id")))
+    intercept[Exception] {
+      boom.write.format("graft.sources.MemSink").option("name", "t3")
+        .mode("append").save()
+    }
+    assert(MemSink.rows("t3") == before, "failed write must not change the table")
+  }
+}
