@@ -237,6 +237,42 @@ object Analytics {
                 SELECT p_id, vec_id, cosine,
                   row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, vec_id) AS rnk
                 FROM cosv) WHERE rnk <= 5
-              ORDER BY p_id, rnk"""))
+              ORDER BY p_id, rnk""")),
+
+    // Edit-distance near-dup: Levenshtein over 40-char prefixes of
+    // consecutive-id document pairs — the character-level companion to the
+    // token-set (Jaccard), MinHash, SimHash, and embedding dedup variants.
+    // Pairing is an equi-join on doc_id+1 (co-keyed shuffle, no n² blow-up
+    // — at scale the pair generator is any bounded candidate source, e.g.
+    // LSH buckets). Distances are exact integers on both engines.
+    Spec("dedup_editdist",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+        val a = doc.select(col("doc_id"), substring(col("text"), 1, 40).as("p1"))
+        val b = doc.select((col("doc_id") - 1).as("b_id"),
+          substring(col("text"), 1, 40).as("p2"))
+        a.join(b, col("doc_id") === col("b_id"))
+          .select(col("doc_id"), levenshtein(col("p1"), col("p2")).as("dist"))
+          .where(col("dist") < 25)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT a.doc_id, levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) < 25
+              ORDER BY a.doc_id""")),
+
+    // Boolean aggregates (every/any): two-phase hash agg like any other.
+    Spec("agg_bool",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.05).as("any_big_discount"),
+          bool_and(col("l_tax") < 0.09).as("all_low_tax"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     bool_and(l_quantity > 0) AS all_positive,
+                     bool_or(l_discount > 0.05) AS any_big_discount,
+                     bool_and(l_tax < 0.09) AS all_low_tax
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

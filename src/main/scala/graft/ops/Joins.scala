@@ -461,6 +461,50 @@ object Joins {
                FROM big
                  JOIN orders   ON o_orderkey = l_orderkey
                  JOIN customer ON c_custkey = o_custkey
-               ORDER BY o_orderkey"""))
+               ORDER BY o_orderkey""")),
+
+    // TPC-H Q21 shape (suppliers who kept the order waiting): EXISTS +
+    // NOT-EXISTS correlated pair decorrelated into LEFT-SEMI + LEFT-ANTI
+    // self-joins on the fact — the relational form Catalyst itself targets
+    // for [NOT] EXISTS. "Fault" is l_returnflag = 'R' (this dataset has no
+    // commit/receipt dates); the semi requires ANOTHER supplier on the
+    // order, the anti requires NO OTHER faulty supplier. Both sides
+    // deduplicate to (order, supplier) grain FIRST, so the self-joins
+    // carry key-pairs, not full rows — at 100 TB that's two co-keyed
+    // shuffles on l_orderkey, AQE-planned, then a broadcast supplier dim.
+    Spec("join_q21_blame",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val pairs = li.select("l_orderkey", "l_suppkey").distinct()
+        val faulty = li.where(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+        val others = pairs.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
+        val faultyOthers = faulty.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
+        val blamed = faulty
+          .join(others, col("l_orderkey") === col("o2_key") &&
+            col("l_suppkey") =!= col("s2_key"), "leftsemi")
+          .join(faultyOthers, col("l_orderkey") === col("o3_key") &&
+            col("l_suppkey") =!= col("s3_key"), "leftanti")
+        blamed.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH faulty AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_returnflag = 'R')
+              SELECT s_suppkey, s_name, count(*) AS numwait
+              FROM faulty f JOIN supplier ON s_suppkey = f.l_suppkey
+              WHERE EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = f.l_orderkey
+                    AND l2.l_suppkey <> f.l_suppkey)
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = f.l_orderkey
+                    AND l3.l_suppkey <> f.l_suppkey
+                    AND l3.l_returnflag = 'R')
+              GROUP BY s_suppkey, s_name
+              ORDER BY s_suppkey"""))
   )
 }
