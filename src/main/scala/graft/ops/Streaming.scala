@@ -5,7 +5,7 @@ import graft.streaming.StreamRunner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2 category I — Structured Streaming over `events`.
@@ -62,6 +62,62 @@ object Streaming {
       val total = (if (countState.exists()) countState.get() else 0L) + rows.size
       countState.update(total)
       Iterator((key, total))
+    }
+  }
+
+  /** Event-time TIMER surface (Spark 4 transformWithState): per-user
+    * sessionization where gap-closed sessions emit inline but the final
+    * open session of each user is emitted by `handleExpiredTimer` when
+    * the watermark passes last-event + gap — the timer path a real
+    * timeout/SLA/abandoned-cart operator needs (state alone can only
+    * react to DATA, timers react to TIME).
+    *
+    * Rows within a micro-batch arrive unordered, so the processor sorts
+    * the per-key batch iterator by event time before the gap walk —
+    * deterministic because batch membership is driver-fixed.
+    */
+  final class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    // (session_start_us, last_event_us, n_events)
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    private def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val times = rows.map(e => us(e.ts)).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = if (sess.exists()) sess.get() else null
+      times.foreach { t =>
+        cur match {
+          case null => cur = (t, t, 1L)
+          case (s0, last, n) =>
+            if (t - last >= gapUs) { out += ((key, s0, n)); cur = (t, t, 1L) }
+            else cur = (s0, t, n + 1)
+        }
+      }
+      sess.update(cur)
+      // one live timer per key: the open session's timeout
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(cur._2 / 1000L + gapUs / 1000L)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      if (sess.exists()) {
+        val (s0, _, n) = sess.get()
+        sess.clear()
+        Iterator((key, s0, n))
+      } else Iterator.empty
     }
   }
 
@@ -252,6 +308,56 @@ object Streaming {
       },
       Some("""SELECT user_id, count(*) AS n_events FROM events
               GROUP BY user_id ORDER BY user_id""")),
+
+    // Timer-driven sessionization through transformWithState with
+    // TimeMode.EventTime: gap-closed sessions emit from handleInputRows,
+    // each user's final open session emits from handleExpiredTimer once
+    // the sentinel-advanced watermark passes its last-event + gap (the
+    // trailing empty batch RUNS with that watermark, firing the timers —
+    // same mechanics stream_watermark_late documents). Oracle: the same
+    // gaps-and-islands relation as stream_session, at (user, session
+    // start, count) grain. RocksDB provider: transformWithState needs
+    // multiple column families (state + timers).
+    Spec("stream_session_timers",
+      (s, d) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          StreamRunner.run(s,
+            Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
+            schemaOf(s, d), "update", cacheKey = s"session|$d",
+            statePartitions = 2) { src =>
+            import s.implicits._
+            src.withWatermark("ts", "1 second")
+              .as[Event]
+              .groupByKey(_.user_id)
+              .transformWithState(new SessionTimerProcessor(300000000L),
+                TimeMode.EventTime(), OutputMode.Update(),
+                Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+              .toDF("user_id", "ss_us", "n")
+          }.where(col("user_id") >= 0).orderBy("user_id", "ss_us")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+              dif AS (
+                SELECT user_id, tus,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+              g AS (
+                SELECT user_id, tus,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM dif)
+              SELECT user_id, min(tus) AS ss_us, count(*) AS n
+              FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
 
     // Stream-stream interval join: purchases within 30 min after a click
     // by the same user.
