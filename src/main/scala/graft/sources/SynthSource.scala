@@ -12,6 +12,7 @@ import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector: a deterministic synthetic events table —
@@ -184,6 +185,55 @@ class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
       override def next(): Boolean = { id += 1; id < sp.end }
       override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toIndexedSeq)
       override def close(): Unit = ()
+    }
+  }
+
+  // Vectorized path: fill OnHeapColumnVectors 4096 rows at a time, one
+  // tight loop PER COLUMN (not per row) — the plan then shows the same
+  // Columnar->Row boundary (codegen'd) as the parquet reader, and
+  // downstream whole-stage codegen consumes the batch without per-row
+  // InternalRow allocation. This is the throughput shape a real 100 TB
+  // source implements; the row reader above remains as the
+  // protocol-required fallback.
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val sp = p.asInstanceOf[SynthInputPartition]
+    val typeBytes = SynthSource.eventTypes.map(_.getBytes)
+    new PartitionReader[ColumnarBatch] {
+      private val cap = 4096
+      private val vectors = required.fields.map(f =>
+        new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(cap, f.dataType))
+      private val batch = new ColumnarBatch(
+        vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+      private var id = sp.start
+      override def next(): Boolean = {
+        if (id >= sp.end) return false
+        val n = math.min(cap.toLong, sp.end - id).toInt
+        vectors.zip(required.fields).foreach { case (v, f) =>
+          v.reset()
+          f.name match {
+            case "event_id" =>
+              var j = 0; while (j < n) { v.putLong(j, id + j); j += 1 }
+            case "user_id" =>
+              var j = 0; while (j < n) { v.putLong(j, SynthSource.userId(sp.seed, id + j)); j += 1 }
+            case "event_type" =>
+              var j = 0
+              while (j < n) {
+                val b = typeBytes(SynthSource.eventTypeIdx(sp.seed, id + j))
+                v.putByteArray(j, b, 0, b.length); j += 1
+              }
+            case "value" =>
+              var j = 0; while (j < n) { v.putDouble(j, SynthSource.value(sp.seed, id + j)); j += 1 }
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
+        }
+        batch.setNumRows(n)
+        id += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

@@ -120,6 +120,28 @@ class RangeBinJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized equivalence: rule-on == rule-off over seeded data") {
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 3) {
+      val pts = Seq.tabulate(200)(i =>
+        (i.toLong, math.floor(rnd.between(-50.0, 450.0) * 100) / 100))
+        .toDF("pid", "v")
+      val ivs = Seq.tabulate(40) { i =>
+        val a = math.floor(rnd.between(-60.0, 460.0) * 100) / 100
+        val b = a + math.floor(rnd.between(-5.0, 120.0) * 100) / 100 // some degenerate
+        (1000L + i, a, b)
+      }.toDF("iid", "lo", "hi")
+      val w = Seq("0.9", "7.0", "33.0")(round - 1)
+      spark.conf.set("spark.graft.rangeBinJoin.binWidth", w)
+      try {
+        val on = rangeJoin(pts, ivs)
+        assert(!executedPlan(on).contains("NestedLoopJoin"), s"round $round")
+        val off = withRule(enabled = false)(rangeJoin(pts, ivs).collect().toSeq)
+        assert(on.collect().toSeq == off, s"round $round width $w")
+      } finally spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+    }
+  }
+
   test("extension-injected rule serves SQL text too") {
     points.createOrReplaceTempView("rb_points")
     intervals.createOrReplaceTempView("rb_intervals")

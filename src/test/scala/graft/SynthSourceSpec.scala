@@ -78,6 +78,17 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(read().where(col("event_id") <= Long.MaxValue).count() == 10000)
   }
 
+  test("scan feeds the vectorized pipeline (ColumnarToRow boundary)") {
+    val df = read(rows = 20000, parts = 4)
+      .where(col("event_type") === "click").groupBy("user_id").count()
+    assert(df.collect().nonEmpty) // materialize THIS plan (AQE finalizes it)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar read path not active:\n${plan.linesIterator.take(12).mkString("\n")}")
+    // pruned-to-zero-columns batches (pure count) also go columnar
+    assert(read(rows = 12345, parts = 3).count() == 12345)
+  }
+
   test("source rows match the shared generator functions exactly") {
     val local = (0L until 100L).map(id => (id,
       graft.sources.SynthSource.userId(42, id),
