@@ -273,6 +273,72 @@ object Analytics {
                      bool_and(l_quantity > 0) AS all_positive,
                      bool_or(l_discount > 0.05) AS any_big_discount,
                      bool_and(l_tax < 0.09) AS all_low_tax
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT (top-2
+    // cheapest lineitems per part): Catalyst decorrelates the lateral
+    // into a ranked-window join — the scale shape — while the query TEXT
+    // stays the natural per-row form. Identical SQL runs on both engines.
+    // Tie-safety: duplicate (orderkey, linenumber) rows can tie at the
+    // LIMIT boundary, but tied rows are value-identical, so either choice
+    // hashes the same.
+    Spec("join_lateral_topk",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT p.p_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
+                 FROM part p,
+                 LATERAL (SELECT l_orderkey, l_linenumber, l_extendedprice
+                          FROM lineitem
+                          WHERE l_partkey = p.p_partkey
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 2) l
+                 WHERE p.p_partkey < 50
+                 ORDER BY p.p_partkey, l.l_extendedprice, l.l_orderkey, l.l_linenumber""")
+      },
+      Some("""SELECT p.p_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
+              FROM part p,
+              LATERAL (SELECT l_orderkey, l_linenumber, l_extendedprice
+                       FROM lineitem
+                       WHERE l_partkey = p.p_partkey
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 2) l
+              WHERE p.p_partkey < 50
+              ORDER BY p.p_partkey, l.l_extendedprice, l.l_orderkey, l.l_linenumber""")),
+
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE): generate the continuous
+    // week calendar spanning the event log, then left-join weekly counts —
+    // recursion builds the bounded dimension (depth = weeks in range, not
+    // data volume), the fact side stays a hash aggregate. Epoch-day week
+    // arithmetic keeps both engines on identical buckets.
+    Spec("sql_recursive_cte",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""WITH RECURSIVE b AS (
+                   SELECT CAST(floor(unix_date(to_date(min(ts)))/7) AS BIGINT) AS lo,
+                          CAST(floor(unix_date(to_date(max(ts)))/7) AS BIGINT) AS hi
+                   FROM events),
+                 weeks(wk) AS (
+                   SELECT lo FROM b
+                   UNION ALL
+                   SELECT wk + 1 FROM weeks, b WHERE wk < hi)
+                 SELECT w.wk, count(e.user_id) AS n_events
+                 FROM weeks w LEFT JOIN
+                   (SELECT CAST(floor(unix_date(to_date(ts))/7) AS BIGINT) AS wk, user_id
+                    FROM events) e
+                   USING (wk)
+                 GROUP BY w.wk ORDER BY w.wk""")
+      },
+      Some("""WITH RECURSIVE b AS (
+                SELECT CAST(floor(date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE))/7) AS BIGINT) AS lo,
+                       CAST(floor(date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE))/7) AS BIGINT) AS hi
+                FROM events),
+              weeks(wk) AS (
+                SELECT lo FROM b
+                UNION ALL
+                SELECT wk + 1 FROM weeks, b WHERE wk < hi)
+              SELECT w.wk, count(e.user_id) AS n_events
+              FROM weeks w LEFT JOIN
+                (SELECT CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))/7) AS BIGINT) AS wk, user_id
+                 FROM events) e
+                USING (wk)
+              GROUP BY w.wk ORDER BY w.wk"""))
   )
 }
