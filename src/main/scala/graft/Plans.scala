@@ -15,7 +15,9 @@ object Plans {
     "join_asof_native", "join_range_binned", "join_q3_shipping",
     "agg_kll_quantiles", "agg_heavy_hitters", "win_rank_scalable",
     "join_range_auto", "join_q18_bigorders", "sim_cosine_fused",
-    "evt_funnel", "evt_cohort_retention", "text_chunk")
+    "evt_funnel", "evt_cohort_retention", "text_chunk",
+    "join_q21_blame", "join_lateral_topk", "sql_recursive_cte",
+    "agg_typed_weighted", "dedup_editdist")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
