@@ -32,6 +32,40 @@ object Streaming {
     maxTsCache.getOrElseUpdate(s"${s.hashCode()}|$d",
       ev(s, d).agg(max("ts")).head().getTimestamp(0))
 
+  /** Run `body` with the RocksDB state-store provider (transformWithState
+    * needs multiple column families — state + timers — which only RocksDB
+    * provides), restoring the previous provider afterwards.
+    */
+  private def withRocksDB[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** Gaps-and-islands session CTEs (5-min gap, µs): shared by the
+    * stream_session and stream_session_timers oracles — callers append
+    * their final SELECT over `g` (grouping by user_id, grp).
+    */
+  private val sessionIslandsSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+       dif AS (
+         SELECT user_id, tus,
+           CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+                THEN 1 ELSE 0 END AS brk
+         FROM e),
+       g AS (
+         SELECT user_id, tus,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM dif)"""
+
   /** Far-future flush row (user_id = -1): pushes the watermark past all
     * real data so append-mode windows emit; filtered out of results.
     */
@@ -105,9 +139,11 @@ object Streaming {
         }
       }
       sess.update(cur)
-      // one live timer per key: the open session's timeout
+      // one live timer per key: the open session's timeout. CEIL to ms —
+      // flooring could fire up to 1ms before last+gap and split a session
+      // that a just-inside-the-gap event should have extended.
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(cur._2 / 1000L + gapUs / 1000L)
+      getHandle.registerTimer((cur._2 + gapUs + 999L) / 1000L)
       out.iterator
     }
 
@@ -174,21 +210,10 @@ object Streaming {
             unix_micros(col("session_window.start")).as("ss_us"),
             unix_micros(col("session_window.end")).as("se_us"), col("n"))
       }.where(col("user_id") >= 0).orderBy("user_id", "ss_us"),
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-              dif AS (
-                SELECT user_id, tus,
-                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
-                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
-                       THEN 1 ELSE 0 END AS brk
-                FROM e),
-              g AS (
-                SELECT user_id, tus,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-                FROM dif)
-              SELECT user_id, min(tus) AS ss_us, max(tus) + 300000000 AS se_us,
-                count(*) AS n
-              FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
+      Some(s"""$sessionIslandsSql
+               SELECT user_id, min(tus) AS ss_us, max(tus) + 300000000 AS se_us,
+                 count(*) AS n
+               FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
 
     // Late-data drop: late set (event_id % 97 = 0) arrives AFTER the
     // watermark advanced to max(on-time) - 10 min AND an intervening batch
@@ -284,10 +309,7 @@ object Streaming {
         val e = ev(s, d)
         val b1 = e.where(col("event_id") % 2 === 0)
         val b2 = e.where(col("event_id") % 2 === 1)
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDB(s) {
           val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
             cacheKey = s"stateful|$d", statePartitions = 2) { src =>
             import s.implicits._
@@ -299,11 +321,6 @@ object Streaming {
           }
           out.groupBy("user_id").agg(max("n_running").as("n_events"))
             .orderBy("user_id")
-        } finally {
-          prev match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
         }
       },
       Some("""SELECT user_id, count(*) AS n_events FROM events
@@ -319,45 +336,24 @@ object Streaming {
     // start, count) grain. RocksDB provider: transformWithState needs
     // multiple column families (state + timers).
     Spec("stream_session_timers",
-      (s, d) => {
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          StreamRunner.run(s,
-            Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
-            schemaOf(s, d), "update", cacheKey = s"session|$d",
-            statePartitions = 2) { src =>
-            import s.implicits._
-            src.withWatermark("ts", "1 second")
-              .as[Event]
-              .groupByKey(_.user_id)
-              .transformWithState(new SessionTimerProcessor(300000000L),
-                TimeMode.EventTime(), OutputMode.Update(),
-                Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
-              .toDF("user_id", "ss_us", "n")
-          }.where(col("user_id") >= 0).orderBy("user_id", "ss_us")
-        } finally {
-          prev match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
-        }
+      (s, d) => withRocksDB(s) {
+        StreamRunner.run(s,
+          Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
+          schemaOf(s, d), "update", cacheKey = s"session|$d",
+          statePartitions = 2) { src =>
+          import s.implicits._
+          src.withWatermark("ts", "1 second")
+            .as[Event]
+            .groupByKey(_.user_id)
+            .transformWithState(new SessionTimerProcessor(300000000L),
+              TimeMode.EventTime(), OutputMode.Update(),
+              Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+            .toDF("user_id", "ss_us", "n")
+        }.where(col("user_id") >= 0).orderBy("user_id", "ss_us")
       },
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-              dif AS (
-                SELECT user_id, tus,
-                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
-                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
-                       THEN 1 ELSE 0 END AS brk
-                FROM e),
-              g AS (
-                SELECT user_id, tus,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-                FROM dif)
-              SELECT user_id, min(tus) AS ss_us, count(*) AS n
-              FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
+      Some(s"""$sessionIslandsSql
+               SELECT user_id, min(tus) AS ss_us, count(*) AS n
+               FROM g GROUP BY user_id, grp ORDER BY user_id, ss_us""")),
 
     // Stream-stream interval join: purchases within 30 min after a click
     // by the same user.

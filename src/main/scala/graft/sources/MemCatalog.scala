@@ -42,8 +42,8 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
   override def name(): String = catalogName
 
-  private def key(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  private def nameParts(ident: Identifier): Seq[String] =
+    (ident.namespace() :+ ident.name()).toSeq
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     MemCatalog.tables.keySet().asScala.toArray
@@ -52,16 +52,16 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val t = MemCatalog.tables.get((catalogName, ident))
-    if (t == null) throw new NoSuchTableException(key(ident).split('.').toSeq)
+    if (t == null) throw new NoSuchTableException(nameParts(ident))
     t
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty, "MemCatalog does not support partitioned tables")
-    val t = new MemCatTable(catalogName, ident, schema)
+    val t = new MemCatTable(ident, schema)
     if (MemCatalog.tables.putIfAbsent((catalogName, ident), t) != null)
-      throw new TableAlreadyExistsException(key(ident).split('.').toSeq)
+      throw new TableAlreadyExistsException(nameParts(ident))
     t
   }
 
@@ -72,18 +72,23 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
     MemCatalog.tables.remove((catalogName, ident)) != null
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val t = MemCatalog.tables.remove((catalogName, oldIdent))
-    if (t == null) throw new NoSuchTableException(key(oldIdent).split('.').toSeq)
-    MemCatalog.tables.put((catalogName, newIdent),
-      new MemCatTable(catalogName, newIdent, t.schema(), t.snapshot))
+    val src = MemCatalog.tables.get((catalogName, oldIdent))
+    if (src == null) throw new NoSuchTableException(nameParts(oldIdent))
+    val moved = new MemCatTable(newIdent, src.schema(), src.snapshot)
+    // destination must not exist (TableCatalog contract: no silent overwrite)
+    if (MemCatalog.tables.putIfAbsent((catalogName, newIdent), moved) != null)
+      throw new TableAlreadyExistsException(nameParts(newIdent))
+    MemCatalog.tables.remove((catalogName, oldIdent))
   }
 
   // --- permissive namespaces (any single-level namespace implicitly exists)
   override def listNamespaces(): Array[Array[String]] =
     MemCatalog.tables.keySet().asScala.toArray
-      .filter(_._1 == catalogName).map(_._2.namespace()).distinct
+      .filter(_._1 == catalogName).map(_._2.namespace().toSeq)
+      .distinct.map(_.toArray) // structural dedup (Array compares by reference)
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
+    else if (namespace.length == 1) Array.empty // implicit namespaces have no children
     else throw new NoSuchNamespaceException(namespace.toSeq)
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespace.length <= 1) util.Collections.emptyMap()
@@ -103,7 +108,7 @@ object MemCatalog {
     new java.util.concurrent.ConcurrentHashMap[(String, Identifier), MemCatTable]()
 }
 
-class MemCatTable(catalog: String, ident: Identifier, tableSchema: StructType,
+class MemCatTable(ident: Identifier, tableSchema: StructType,
     initial: Vector[Row] = Vector.empty) extends Table
     with SupportsRead with SupportsWrite {
 

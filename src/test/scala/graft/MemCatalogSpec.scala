@@ -57,4 +57,32 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM graftcat.ns3.b").head.getLong(0) == 7)
     spark.sql("DROP TABLE graftcat.ns3.b")
   }
+
+  test("RENAME to an existing table fails and destroys nothing") {
+    spark.sql("DROP TABLE IF EXISTS graftcat.ns4.src")
+    spark.sql("DROP TABLE IF EXISTS graftcat.ns4.dst")
+    spark.sql("CREATE TABLE graftcat.ns4.src (v BIGINT) USING mem")
+    spark.sql("CREATE TABLE graftcat.ns4.dst (v BIGINT) USING mem")
+    spark.sql("INSERT INTO graftcat.ns4.src VALUES (1)")
+    spark.sql("INSERT INTO graftcat.ns4.dst VALUES (2), (3)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.ns4.src RENAME TO ns4.dst"))
+    // both tables intact: no silent overwrite, source not half-moved
+    assert(spark.sql("SELECT count(*) FROM graftcat.ns4.dst").head.getLong(0) == 2)
+    assert(spark.sql("SELECT v FROM graftcat.ns4.src").head.getLong(0) == 1)
+    spark.sql("DROP TABLE graftcat.ns4.src")
+    spark.sql("DROP TABLE graftcat.ns4.dst")
+  }
+
+  test("namespace listing dedups structurally") {
+    spark.sql("DROP TABLE IF EXISTS graftcat.ns5.x")
+    spark.sql("DROP TABLE IF EXISTS graftcat.ns5.y")
+    spark.sql("CREATE TABLE graftcat.ns5.x (v BIGINT) USING mem")
+    spark.sql("CREATE TABLE graftcat.ns5.y (v BIGINT) USING mem")
+    val ns = spark.sql("SHOW NAMESPACES IN graftcat")
+      .collect().map(_.getString(0)).toSeq
+    assert(ns.count(_ == "ns5") == 1, s"duplicate namespace rows: $ns")
+    spark.sql("DROP TABLE graftcat.ns5.x")
+    spark.sql("DROP TABLE graftcat.ns5.y")
+  }
 }
