@@ -37,13 +37,24 @@ object Streaming {
     * provides), restoring the previous provider afterwards.
     */
   private def withRocksDB[A](s: SparkSession)(body: => A): A = {
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prev = s.conf.getOption(key)
+    val prevTrack = s.conf.getOption(track)
+    s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // skip the get-before-put RocksDB does solely to maintain the
+    // numTotalStateRows metric — the documented production knob for
+    // write-heavy state (we assert results, not state-row metrics)
+    s.conf.set(track, "false")
     try body finally {
       prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      prevTrack match {
+        case Some(p) => s.conf.set(track, p)
+        case None => s.conf.unset(track)
       }
     }
   }

@@ -128,6 +128,27 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_date
               FROM orders ORDER BY o_custkey, o_orderkey""")),
 
+    // nth_value over the full partition frame (the n-th order per customer
+    // by date, visible on every row) — deterministic: the window order
+    // carries the o_orderkey tie-break; NULL where the partition is short.
+    Spec("win_nth_value",
+      (s, d) => {
+        val (o, wBase) = ordersByCustDate(s, d)
+        val wAll = wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"),
+            nth_value(col("o_orderkey"), 4).over(wAll).as("fourth_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                nth_value(o_orderkey, 2) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+                nth_value(o_orderkey, 4) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fourth_order
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
     // percent_rank = (rank-1)/(n-1), cume_dist = peers/n: one IEEE division
     // on identical integers → bit-identical, no rounding needed.
     Spec("win_percentiles",
