@@ -339,6 +339,42 @@ object Analytics {
                 (SELECT CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))/7) AS BIGINT) AS wk, user_id
                  FROM events) e
                 USING (wk)
-              GROUP BY w.wk ORDER BY w.wk"""))
+              GROUP BY w.wk ORDER BY w.wk""")),
+
+    // ANSI-safe casting: try_cast returns NULL on malformed input instead
+    // of failing the job — the semantics a 100 TB dirty-text pipeline
+    // needs (one bad row must not kill a stage). Valid digits extracted
+    // from c_name succeed; the mktsegment word fails to NULL on both
+    // engines.
+    Spec("fn_try_cast",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("try_cast(substr(c_name, 10) AS BIGINT)").as("name_num"),
+          expr("try_cast(c_mktsegment AS BIGINT)").as("seg_num"),
+          expr("try_cast(concat('2024-01-', lpad(CAST(c_custkey % 28 + 1 AS STRING), 2, '0')) AS DATE)")
+            .cast("string").as("as_date"),
+          expr("try_cast(c_mktsegment AS DATE)").cast("string").as("bad_date"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     TRY_CAST(substr(c_name, 10) AS BIGINT) AS name_num,
+                     TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+                     CAST(TRY_CAST(concat('2024-01-', lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')) AS DATE) AS VARCHAR) AS as_date,
+                     CAST(TRY_CAST(c_mktsegment AS DATE) AS VARCHAR) AS bad_date
+              FROM customer ORDER BY c_custkey""")),
+
+    // Conditional counting: count_if / FILTER — partial-aggregated like
+    // any count, no extra pass over the data.
+    Spec("agg_count_if",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(count_if(col("l_discount") > 0.05).as("n_discounted"),
+          count_if(col("l_returnflag") === "R").as("n_returned"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                     count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                     count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
   )
 }

@@ -46,11 +46,17 @@ object MemSink {
   /** Driver-side committed tables: name -> (schema, rows as external Scala values). */
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Vector[Seq[Any]])]()
+  /** Committed stream epochs per table — re-delivery of an epoch (task
+    * retry after a driver failure, AvailableNow restart) is a no-op:
+    * the exactly-once guarantee a streaming sink must provide.
+    */
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
 
   def rows(name: String): Vector[Seq[Any]] =
     Option(store.get(name)).map(_._2).getOrElse(Vector.empty)
   def schemaOf(name: String): Option[StructType] = Option(store.get(name)).map(_._1)
-  def clear(name: String): Unit = store.remove(name)
+  def clear(name: String): Unit = { store.remove(name); epochs.remove(name) }
 
   private[sources] def commitRows(name: String, schema: StructType,
       batches: Seq[Vector[Seq[Any]]], truncate: Boolean): Unit =
@@ -58,6 +64,13 @@ object MemSink {
       val base = if (truncate || prev == null) Vector.empty else prev._2
       (schema, base ++ batches.flatten)
     })
+
+  private[sources] def commitEpoch(name: String, schema: StructType,
+      epochId: Long, batches: Seq[Vector[Seq[Any]]], truncate: Boolean): Unit = {
+    val seen = epochs.computeIfAbsent(name,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
+    if (seen.add(epochId)) commitRows(name, schema, batches, truncate)
+  }
 }
 
 class MemSinkTable(name: String, writeSchema: StructType)
@@ -65,7 +78,8 @@ class MemSinkTable(name: String, writeSchema: StructType)
   override def name(): String = s"graft_mem_sink_$name"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -74,8 +88,22 @@ class MemSinkTable(name: String, writeSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MemBatchWrite(name, info.schema(), doTruncate)
+        // epoch-based streaming commits; duplicate epochs are no-ops
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new MemStreamingWrite(name, info.schema(), doTruncate)
       }
     }
+}
+
+class MemStreamingWrite(name: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    MemStreamWriterFactory(schema) // standalone: factories ship to executors
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MemSink.commitEpoch(name, schema, epochId,
+      messages.toIndexedSeq.map(_.asInstanceOf[MemSinkCommit].rows), truncate)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** One per-task buffer travels back as the commit message; the driver
@@ -91,6 +119,13 @@ class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
     MemSink.commitRows(name, schema,
       messages.toIndexedSeq.map(_.asInstanceOf[MemSinkCommit].rows), truncate)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class MemStreamWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 class MemWriterFactory(schema: StructType) extends DataWriterFactory {

@@ -39,6 +39,34 @@ class MemSinkSpec extends AnyFunSuite {
     assert(MemSink.rows("t2").length == 10)
   }
 
+  test("streaming write: epoch commits, exactly-once across a restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    MemSink.clear("st1")
+    val src = Files.createTempDirectory("memsink_stream_src_").toFile
+    val ckpt = Files.createTempDirectory("memsink_stream_ckpt_").toFile
+    def feed(lo: Int, hi: Int, batch: String): Unit =
+      spark.range(lo, hi).toDF("id").coalesce(1)
+        .write.mode("append").parquet(src.getPath + s"/b$batch")
+    feed(0, 500, "1")
+    val schema = spark.read.parquet(src.getPath + "/b1").schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .parquet(src.getPath + "/*")
+        .writeStream.format("graft.sources.MemSink")
+        .option("name", "st1")
+        .option("checkpointLocation", ckpt.getPath)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(MemSink.rows("st1").length == 500)
+    feed(500, 800, "2")
+    drain() // restart from checkpoint: only the NEW batch commits
+    val ids = MemSink.rows("st1").map(_.head.asInstanceOf[Long]).sorted
+    assert(ids == (0L until 800L), s"got ${ids.length} rows")
+  }
+
   test("a failed job commits nothing (all-or-nothing batch commit)") {
     MemSink.clear("t3")
     df.write.format("graft.sources.MemSink").option("name", "t3")
