@@ -313,7 +313,7 @@ object Streaming {
     // + StatefulProcessor, RocksDB state store — transformWithState needs
     // multiple column families, which only RocksDB provides). RocksDB opens
     // one native store per state partition, so the partition count is
-    // size-matched: 2 covers the 150-key local state (at production key
+    // size-matched: 1 covers the 150-key local state (at production key
     // volume this knob rises with the cluster).
     Spec("stream_stateful_tws",
       (s, d) => {
@@ -322,7 +322,7 @@ object Streaming {
         val b2 = e.where(col("event_id") % 2 === 1)
         withRocksDB(s) {
           val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
-            cacheKey = s"stateful|$d", statePartitions = 2) { src =>
+            cacheKey = s"stateful|$d", statePartitions = 1) { src =>
             import s.implicits._
             src.as[Event]
               .groupByKey(_.user_id)
@@ -351,7 +351,7 @@ object Streaming {
         StreamRunner.run(s,
           Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
           schemaOf(s, d), "update", cacheKey = s"session|$d",
-          statePartitions = 2) { src =>
+          statePartitions = 1) { src =>
           import s.implicits._
           src.withWatermark("ts", "1 second")
             .as[Event]
