@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Spec, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 categories A (scans) and B (projection / filter).
@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Rel {
   import Tables._
+
+  private val partDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** events rewritten once per (session, sf) as a hive-style
+    * `event_type=.../` partition layout — the directory structure a 100 TB
+    * deployment uses (date/tenant dirs) so that partition values prune at
+    * PLANNING time, before any file is opened.
+    */
+  private def partitionedEvents(s: SparkSession, d: String): DataFrame = {
+    val dir = partDirCache.getOrElseUpdate(s"${s.hashCode()}|$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evpart_").toFile
+      tmp.deleteOnExit()
+      t(s, d, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(tmp.getPath)
+      tmp.getPath
+    })
+    s.read.parquet(dir)
+  }
 
   val all: Seq[Spec] = Seq(
     // -------------------------------------------------- A. scans
@@ -40,6 +59,22 @@ object Rel {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
               FROM lineitem WHERE l_quantity < 5
               ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
+
+    // Partition-DIRECTORY pruning (the planning-time analogue of row-group
+    // pushdown): the scan of the event_type=... layout plans only the two
+    // matching directories — PartitionFilters in explain, asserted in
+    // PartitionPruneSpec. At 100 TB this is the difference between
+    // listing/opening every file and touching only the requested
+    // partitions. Oracle reads the original unpartitioned table: same relation.
+    Spec("scan_partition_prune",
+      (s, d) => partitionedEvents(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n, ${msumSql("value")} AS sum_value
+               FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY event_type ORDER BY event_type""")),
 
     // -------------------------------------------------- B. project / filter
     // Computed columns: identical IEEE double arithmetic on both engines →

@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** scan_partition_prune: the event_type filter must prune at PLANNING
+  * time (PartitionFilters), not per-row after the scan.
+  */
+class PartitionPruneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partition filter reaches the scan and prunes directories") {
+    val df = q("scan_partition_prune")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"),
+      s"no partition pruning in plan:\n${plan.linesIterator.take(15).mkString("\n")}")
+    // the pushed filter set must NOT carry event_type as a data filter —
+    // it is a partition column, resolved before any file is opened
+    assert(!plan.contains("PushedFilters: [In(event_type"),
+      "event_type leaked into data filters instead of partition filters")
+  }
+}
