@@ -46,9 +46,12 @@ object MemSink {
   /** Driver-side committed tables: name -> (schema, rows as external Scala values). */
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Vector[Seq[Any]])]()
-  /** Committed stream epochs per table — re-delivery of an epoch (task
-    * retry after a driver failure, AvailableNow restart) is a no-op:
-    * the exactly-once guarantee a streaming sink must provide.
+  /** Committed stream epochs per (table, streaming queryId) — re-delivery
+    * of an epoch (driver failure recovery, checkpoint restart re-commit)
+    * is a no-op: the exactly-once guarantee a streaming sink must provide.
+    * Scoped by queryId (stable across restarts of the SAME checkpoint,
+    * fresh for a new query) so a table name reused by an independent
+    * query — whose epochIds restart at 0 — is not silently discarded.
     */
   private val epochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
@@ -65,9 +68,9 @@ object MemSink {
       (schema, base ++ batches.flatten)
     })
 
-  private[sources] def commitEpoch(name: String, schema: StructType,
+  private[graft] def commitEpoch(name: String, queryId: String, schema: StructType,
       epochId: Long, batches: Seq[Vector[Seq[Any]]], truncate: Boolean): Unit = {
-    val seen = epochs.computeIfAbsent(name,
+    val seen = epochs.computeIfAbsent(s"$name|$queryId",
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
     if (seen.add(epochId)) commitRows(name, schema, batches, truncate)
   }
@@ -90,18 +93,19 @@ class MemSinkTable(name: String, writeSchema: StructType)
           new MemBatchWrite(name, info.schema(), doTruncate)
         // epoch-based streaming commits; duplicate epochs are no-ops
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new MemStreamingWrite(name, info.schema(), doTruncate)
+          new MemStreamingWrite(name, info.queryId(), info.schema(), doTruncate)
       }
     }
 }
 
-class MemStreamingWrite(name: String, schema: StructType, truncate: Boolean)
+class MemStreamingWrite(name: String, queryId: String, schema: StructType,
+    truncate: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     MemStreamWriterFactory(schema) // standalone: factories ship to executors
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    MemSink.commitEpoch(name, schema, epochId,
+    MemSink.commitEpoch(name, queryId, schema, epochId,
       messages.toIndexedSeq.map(_.asInstanceOf[MemSinkCommit].rows), truncate)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

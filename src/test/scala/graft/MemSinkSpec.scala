@@ -67,6 +67,19 @@ class MemSinkSpec extends AnyFunSuite {
     assert(ids == (0L until 800L), s"got ${ids.length} rows")
   }
 
+  test("duplicate epoch commit is a no-op; a new queryId gets fresh epochs") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    MemSink.clear("ep")
+    val schema = StructType(Seq(StructField("v", LongType)))
+    MemSink.commitEpoch("ep", "q1", schema, 0L, Seq(Vector(Seq(1L))), truncate = false)
+    // re-delivered epoch (driver recovery re-commit): must be discarded
+    MemSink.commitEpoch("ep", "q1", schema, 0L, Seq(Vector(Seq(99L))), truncate = false)
+    MemSink.commitEpoch("ep", "q1", schema, 1L, Seq(Vector(Seq(2L))), truncate = false)
+    // an INDEPENDENT query reusing the table restarts epochs at 0 — kept
+    MemSink.commitEpoch("ep", "q2", schema, 0L, Seq(Vector(Seq(3L))), truncate = false)
+    assert(MemSink.rows("ep").map(_.head) == Vector(1L, 2L, 3L))
+  }
+
   test("a failed job commits nothing (all-or-nothing batch commit)") {
     MemSink.clear("t3")
     df.write.format("graft.sources.MemSink").option("name", "t3")
