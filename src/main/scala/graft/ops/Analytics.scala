@@ -375,6 +375,47 @@ object Analytics {
                      count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
                      count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
                      count(*) AS n
-              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // CAPSTONE composite: the training-data pipeline end to end in ONE
+    // declared query — exact dedup (sha256 hash-groupBy, keep min doc_id)
+    // → quality filter (length + token-count floor) → overlapping chunking
+    // (chunkDocs) → whitespace tokenization → per-language corpus stats.
+    // Every stage is the scale shape its standalone query established:
+    // hash-group dedup shuffles digests not documents, the filter is a
+    // scan predicate, chunk+tokenize are per-row explodes, and the final
+    // rollup is a two-phase hash aggregate. One query a reference user
+    // would actually run nightly.
+    Spec("pipeline_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val canonical = docs
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val kept = docs.join(canonical, "doc_id")
+          .where(length(col("text")) >= 100 &&
+            size(split(col("text"), " ")) >= 20)
+        val chunks = chunkDocs(kept.select("doc_id", "text"))
+        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(size(split(col("chunk"), " "))).cast("long").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH canonical AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+              kept AS (
+                SELECT d.doc_id, d.text, d.lang
+                FROM documents d JOIN canonical USING (doc_id)
+                WHERE length(d.text) >= 100 AND len(str_split(d.text, ' ')) >= 20),
+              chunks AS (
+                SELECT doc_id, lang, substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk
+                FROM kept CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
+                WHERE i * 96 < length(text))
+              SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+                     CAST(sum(len(str_split(chunk, ' '))) AS BIGINT) AS n_tokens
+              FROM chunks GROUP BY lang ORDER BY lang"""))
   )
 }
