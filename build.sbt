@@ -11,10 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Pass the forked JVM's stdout through verbatim: the default LoggedOutput
-// strategy prefixes every line with "[info] ", which breaks the driver's
-// JSON parse of Bench's final {"metric":"total",...} line.
-outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Pass the forked run JVM's stdout through verbatim: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// the driver's JSON parse of Bench's final {"metric":"total",...} line.
+// Scoped to run only so forked Test output keeps sbt's log buffering.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

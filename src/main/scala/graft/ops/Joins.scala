@@ -505,6 +505,32 @@ object Joins {
                     AND l3.l_suppkey <> f.l_suppkey
                     AND l3.l_returnflag = 'R')
               GROUP BY s_suppkey, s_name
-              ORDER BY s_suppkey"""))
+              ORDER BY s_suppkey""")),
+
+    // Deliberately skewed fact→dim join: half of lineitem is funneled
+    // onto supplier key 1 (CASE on l_orderkey parity) — the hot-key shape
+    // that melts one reducer at 100 TB. Two complementary mitigations in
+    // this repo: AQE's OptimizeSkewedJoin splits the hot partition at
+    // RUNTIME with no query change (asserted firing on exactly this
+    // query in SkewJoinSpec, with thresholds scaled to local data), and
+    // manual salting (agg_skew_salted / SaltingSpec) for engines or
+    // stages AQE can't reach. At bench scale the 100-row supplier dim
+    // broadcasts, so the declared query never shuffles the skew at all —
+    // which is itself the first-choice fix.
+    Spec("join_skew_aqe",
+      (s, d) => {
+        val li = t(s, d, "lineitem").withColumn("sk",
+          when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_suppkey")))
+        li.join(t(s, d, "supplier"), col("sk") === col("s_suppkey"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), msum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n,
+                 ${msumSql("l_extendedprice")} AS sum_price
+               FROM lineitem l JOIN supplier s
+                 ON s.s_suppkey = (CASE WHEN l.l_orderkey % 2 = 0
+                                        THEN 1 ELSE l.l_suppkey END)
+               GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

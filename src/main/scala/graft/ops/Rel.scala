@@ -46,6 +46,34 @@ object Rel {
     s.read.parquet(dest.getPath)
   }
 
+  /** Tiny event_type dimension (5 rows), written once as a parquet fixture
+    * so the dim side of scan_dpp is a real file scan: a literal
+    * `Seq(...).toDF` would be folded to a LocalRelation before the
+    * PartitionPruning rule runs, and its selective-filter detection only
+    * fires on a Filter that survives optimization. Same cross-JVM
+    * stage-plus-atomic-rename protocol as [[partitionedEvents]].
+    */
+  private def eventTypeDim(s: SparkSession): DataFrame = {
+    val dest = new java.io.File("/tmp/graft_evdim")
+    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_evdim_stage_").toFile
+      import s.implicits._
+      Seq(("click", "engagement"), ("view", "engagement"),
+          ("purchase", "conversion"), ("signup", "conversion"),
+          ("error", "ops")).toDF("et", "category")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      try java.nio.file.Files.move(stage.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(stage)
+      }
+    }
+    s.read.parquet(dest.getPath)
+  }
+
   val all: Seq[Spec] = Seq(
     // -------------------------------------------------- A. scans
     Spec("scan_full",
@@ -87,6 +115,30 @@ object Rel {
         .orderBy("event_type"),
       Some(s"""SELECT event_type, count(*) AS n, ${msumSql("value")} AS sum_value
                FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY event_type ORDER BY event_type""")),
+
+    // DYNAMIC partition pruning — the star-schema scan feature that
+    // matters at 100 TB: the fact's pruned partition set is not knowable
+    // at planning time (the filter is on the DIM's category column, not
+    // the partition column), so Catalyst injects a
+    // DynamicPruningExpression into the fact scan's PartitionFilters,
+    // fed by the dim's reused broadcast at runtime. Only the
+    // conversion-category partitions (purchase, signup) are ever read.
+    // Asserted in PartitionPruneSpec alongside the static case.
+    Spec("scan_dpp",
+      (s, d) => partitionedEvents(s, d)
+        .join(eventTypeDim(s).where(col("category") === "conversion"),
+          col("event_type") === col("et"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n, ${msumSql("value")} AS sum_value
+               FROM events
+               JOIN (VALUES ('click','engagement'), ('view','engagement'),
+                     ('purchase','conversion'), ('signup','conversion'),
+                     ('error','ops')) AS dim(et, category)
+                 ON event_type = dim.et
+               WHERE dim.category = 'conversion'
                GROUP BY event_type ORDER BY event_type""")),
 
     // -------------------------------------------------- B. project / filter

@@ -168,16 +168,29 @@ object Streaming {
     }
   }
 
+  /** One shared 5-minute tumbling drain feeds BOTH stream_tumbling and
+    * stream_sliding (drainKey-memoized in StreamRunner): a 10/5-minute
+    * sliding window is the disjoint union of the two 5-minute tumbling
+    * buckets it covers, so sliding counts are derived by re-bucketing the
+    * drained tumbling aggregate — an event in bucket b lands in exactly
+    * the sliding windows starting at b and b-300. One micro-batch drain
+    * serves two declared queries; the genuine streaming sliding-window
+    * operator (window(ts, "10 minutes", "5 minutes") under readStream) is
+    * exercised against this derivation in StreamingParitySpec.
+    */
+  private[ops] def tumblingSink(s: SparkSession, d: String): DataFrame =
+    StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete",
+      cacheKey = s"single|$d", drainKey = s"tumb5|$d") { src =>
+      src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))
+    }
+
   val all: Seq[Spec] = Seq(
     // Tumbling window agg, complete mode == batch aggregation.
     Spec("stream_tumbling",
-      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete",
-        cacheKey = s"single|$d") { src =>
-        src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
-          .select(unix_timestamp(col("window.start")).as("ws"),
-            col("event_type"), col("n"), col("sum_value"))
-      }.orderBy("ws", "event_type"),
+      (s, d) => tumblingSink(s, d).orderBy("ws", "event_type"),
       Some(s"""SELECT $bucketSql AS ws, event_type, count(*) AS n,
                  ${msumSql("value")} AS sum_value
                FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
@@ -195,14 +208,15 @@ object Streaming {
                FROM events GROUP BY ws, event_type ORDER BY ws, event_type""")),
 
     // Sliding 10-min window, 5-min slide: every event lands in exactly 2
-    // windows (starts floor5(t) and floor5(t)-300).
+    // windows (starts floor5(t) and floor5(t)-300) — derived from the
+    // shared tumbling drain (see tumblingSink scaladoc; the native
+    // streaming sliding window is parity-tested in StreamingParitySpec).
     Spec("stream_sliding",
-      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "complete",
-        cacheKey = s"single|$d") { src =>
-        src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
-      }.orderBy("ws", "event_type"),
+      (s, d) => tumblingSink(s, d)
+        .withColumn("off", explode(array(lit(0L), lit(300L))))
+        .groupBy((col("ws") - col("off")).as("ws"), col("event_type"))
+        .agg(sum("n").as("n"))
+        .orderBy("ws", "event_type"),
       Some(s"""SELECT $bucketSql - o.off AS ws, event_type, count(*) AS n
                FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off) o
                GROUP BY ws, event_type ORDER BY ws, event_type""")),
@@ -213,7 +227,8 @@ object Streaming {
     Spec("stream_session",
       (s, d) => StreamRunner.run(s,
         Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
-        schemaOf(s, d), "append", cacheKey = s"session|$d") { src =>
+        schemaOf(s, d), "append", cacheKey = s"session|$d",
+        drainKey = s"session_win|$d") { src =>
         src.withWatermark("ts", "1 second")
           .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -249,7 +264,7 @@ object Streaming {
         // RUNS with the sentinel-advanced watermark (a spontaneous no-data
         // batch is not guaranteed).
         StreamRunner.run(s, Seq(onTime, evict, late, sentinel(s, d), evict),
-          schemaOf(s, d), "append", cacheKey = s"wml|$d") { src =>
+          schemaOf(s, d), "append", cacheKey = s"wml|$d", drainKey = s"wml|$d") { src =>
           src.withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
             .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
@@ -272,7 +287,7 @@ object Streaming {
         val e = ev(s, d)
         val withDups = e.unionAll(e.where(col("event_id") % 100 === 0))
         StreamRunner.run(s, Seq(withDups), schemaOf(s, d), "complete",
-          cacheKey = s"dedup|$d") { src =>
+          cacheKey = s"dedup|$d", drainKey = s"dedup|$d") { src =>
           src.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark("event_id")
             .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -291,7 +306,7 @@ object Streaming {
         val b2 = e.where(col("event_id") % 2 === 1)
         // shares the batch layout (and memoized files) with stream_stateful_tws
         val out = StreamRunner.run(s, Seq(b1, b2), schemaOf(s, d), "update",
-          cacheKey = s"stateful|$d") { src =>
+          cacheKey = s"stateful|$d", drainKey = s"stateful_fmgws|$d") { src =>
           import s.implicits._
           src.as[Event]
             .groupByKey(_.user_id)
@@ -322,7 +337,8 @@ object Streaming {
         val b2 = e.where(col("event_id") % 2 === 1)
         withRocksDB(s) {
           val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
-            cacheKey = s"stateful|$d", statePartitions = 1) { src =>
+            cacheKey = s"stateful|$d", statePartitions = 1,
+            drainKey = s"stateful_tws|$d") { src =>
             import s.implicits._
             src.as[Event]
               .groupByKey(_.user_id)
@@ -351,7 +367,7 @@ object Streaming {
         StreamRunner.run(s,
           Seq(ev(s, d), sentinel(s, d), ev(s, d).where(lit(false))),
           schemaOf(s, d), "update", cacheKey = s"session|$d",
-          statePartitions = 1) { src =>
+          statePartitions = 1, drainKey = s"session_tws|$d") { src =>
           import s.implicits._
           src.withWatermark("ts", "1 second")
             .as[Event]
@@ -370,7 +386,7 @@ object Streaming {
     // by the same user.
     Spec("stream_stream_join",
       (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append",
-        cacheKey = s"single|$d") { src =>
+        cacheKey = s"single|$d", drainKey = s"ssjoin|$d") { src =>
         val clicks = src.where(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "2 hours")

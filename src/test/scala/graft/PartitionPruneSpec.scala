@@ -22,4 +22,17 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [In(event_type"),
       "event_type leaked into data filters instead of partition filters")
   }
+
+  test("scan_dpp: dim filter prunes fact partitions at RUNTIME (DPP)") {
+    val df = q("scan_dpp")
+    // only the conversion-category partitions survive
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("purchase", "signup"))
+    // the fact scan must carry a DynamicPruningExpression in its
+    // PartitionFilters — the category filter lives on the DIM, so the
+    // fact's partition set is only resolvable at runtime via the dim's
+    // reused broadcast. A static IN-list here would not count.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in fact scan:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
 }

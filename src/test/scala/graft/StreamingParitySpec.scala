@@ -15,6 +15,22 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(s == b)
   }
 
+  test("native streaming sliding window equals the tumbling-derived stream_sliding") {
+    // stream_sliding derives 10/5-min sliding counts from the shared
+    // tumbling drain (ops/Streaming.scala tumblingSink); this runs the
+    // GENUINE streaming sliding-window operator over the same feed and
+    // asserts the derivation is exact.
+    val e = Tables.events(spark, sf)
+    val native = graft.streaming.StreamRunner.run(
+      spark, Seq(e), e.schema, "complete",
+      cacheKey = s"single|$sf", drainKey = s"slide_native|$sf") { src =>
+      src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
+    }.orderBy("ws", "event_type")
+    assert(native.collect().toSeq == q("stream_sliding").collect().toSeq)
+  }
+
   test("stream_dedup restores exact per-type counts despite injected dups") {
     val streamed = q("stream_dedup")
     val batch = Tables.events(spark, sf)
