@@ -40,3 +40,44 @@ object TextBytesCodec extends MediaCodec {
       payload.map(b => (b & 0xff).toFloat / 255.0f)
   }
 }
+
+/** REAL image decoder behind the same seam: `javax.imageio` ships with
+  * the JDK (no external libraries), so PNG/JPEG/BMP/GIF payloads decode
+  * to row-major normalized RGB floats with zero new dependencies. The
+  * driver's testdata carries no real media (its payloads are opaque text
+  * bytes), so the DECLARED queries keep [[TextBytesCodec]]; this codec
+  * proves the seam takes a genuine decoder unchanged — exercised over
+  * deterministic in-memory PNGs in MultimodalSpec.
+  *
+  * ImageIO.read is not guaranteed thread-safe across shared readers; a
+  * fresh decoder per partition (the seam's contract) keeps sessions
+  * isolated.
+  */
+object ImageIoCodec extends MediaCodec {
+  override val name: String = "imageio"
+  override def open(): MediaDecoder = new MediaDecoder {
+    override def decode(payload: Array[Byte], width: Int, height: Int,
+                        channels: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff) / 255.0f
+          out(i + 1) = ((rgb >> 8) & 0xff) / 255.0f
+          out(i + 2) = (rgb & 0xff) / 255.0f
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+}

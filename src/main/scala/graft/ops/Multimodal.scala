@@ -82,9 +82,19 @@ object Multimodal {
     * parallel over the corpus.
     */
   def extractFeatures(s: SparkSession, d: String,
-                      codec: MediaCodec = TextBytesCodec): DataFrame = {
+                      codec: MediaCodec = TextBytesCodec): DataFrame =
+    extractFeaturesFrom(s, corpus(s, d), codec)
+
+  /** Same pipeline over ANY media relation with (doc_id, payload, meta)
+    * columns — the entry point a real ingest (binaryFile, kafka) feeds.
+    * Decoded length is independent of payload length for real codecs
+    * (a PNG's pixel count ≠ its compressed byte count), so the raw-byte
+    * checksum and the pixel statistics iterate separately.
+    */
+  def extractFeaturesFrom(s: SparkSession, media: DataFrame,
+                          codec: MediaCodec = TextBytesCodec): DataFrame = {
     import s.implicits._
-    corpus(s, d)
+    media
       .select(col("doc_id"), col("payload"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.channels").as("channels"))
@@ -98,13 +108,14 @@ object Multimodal {
           val px = dec.decode(r.payload, r.width, r.height, r.channels)
           val pooled = resizePool(px, 8)
           var sum = 0.0; var mx = 0.0
-          var bsum = 0L
           var i = 0
           while (i < px.length) {
             sum += px(i); mx = math.max(mx, px(i))
-            bsum += (r.payload(i) & 0xff)
             i += 1
           }
+          var bsum = 0L
+          var j = 0
+          while (j < r.payload.length) { bsum += (r.payload(j) & 0xff); j += 1 }
           // empty payload → zeroed features (no NaN mean / -Inf max)
           val mean = if (px.length == 0) 0.0 else sum / px.length
           MediaFeatures(r.doc_id, px.length.toLong, bsum, mean, mx, pooled.toSeq)

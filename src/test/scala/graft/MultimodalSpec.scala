@@ -82,6 +82,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(CountingCodec.decodes.get() == docs)
   }
 
+  test("REAL image decode: javax.imageio PNGs through the same pipeline") {
+    import java.awt.image.BufferedImage
+    // deterministic PNGs built in memory: (w, h, rgb-fill)
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val media = Seq(
+      (1L, png(2, 2, 0xff0000), 2, 2),  // pure red: channels (1,0,0)
+      (2L, png(3, 1, 0x4080c0), 3, 1),  // mixed: (64,128,192)/255
+    ).toDF("doc_id", "payload", "w", "h")
+      .select(col("doc_id"), col("payload"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(3).as("channels"), lit("png").as("format_tag")).as("meta"))
+    val feats = ops.Multimodal
+      .extractFeaturesFrom(spark, media, codec = ops.ImageIoCodec)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // red 2x2: 12 floats, four 1.0s → mean 1/3, max 1.0
+    assert(feats(1L).getAs[Long]("n_bytes") == 12L)
+    assert(math.abs(feats(1L).getAs[Double]("mean_px") - 1.0 / 3) < 1e-12)
+    assert(feats(1L).getAs[Double]("max_px") == 1.0)
+    // mixed 3x1: mean = (64+128+192)/(3*255), max = 192/255 — PNG is
+    // lossless so decoded channel values are exact
+    assert(feats(2L).getAs[Long]("n_bytes") == 9L)
+    assert(math.abs(feats(2L).getAs[Double]("mean_px") - 384.0 / (3 * 255.0)) < 1e-7)
+    assert(math.abs(feats(2L).getAs[Double]("max_px") - 192.0f / 255.0f) < 1e-12)
+    // byte checksum is over the COMPRESSED payload, not the pixels
+    assert(feats(1L).getAs[Long]("byte_sum") ==
+      png(2, 2, 0xff0000).map(b => (b & 0xff).toLong).sum)
+  }
+
   test("a custom codec's output flows through the feature pipeline") {
     // constant-0.5 codec → mean_px 0.5 and max_px 0.5 for every record
     val feats = ops.Multimodal.extractFeatures(spark, sf, codec = HalfCodec)
