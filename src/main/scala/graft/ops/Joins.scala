@@ -507,6 +507,71 @@ object Joins {
               GROUP BY s_suppkey, s_name
               ORDER BY s_suppkey""")),
 
+    // TPC-H Q15 shape (top supplier by revenue): the correlated
+    // "revenue = (SELECT max(...))" predicate decorrelates to a 1-ROW
+    // global aggregate broadcast-cross-joined back onto the same
+    // aggregated relation — no per-row subquery, and the revenue
+    // partial-agg feeds both branches. Exact decimal revenue (msum)
+    // makes the max-equality bit-safe on both engines.
+    Spec("join_q15_toprevenue",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .groupBy("l_suppkey")
+          .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("total_rev"))
+        val mx = rev.agg(max("total_rev").as("max_rev"))
+        rev.crossJoin(broadcast(mx))
+          .where(col("total_rev") === col("max_rev"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+                 SELECT l_suppkey,
+                   ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, total_rev
+               FROM rev JOIN supplier ON l_suppkey = s_suppkey
+               WHERE total_rev = (SELECT max(total_rev) FROM rev)
+               ORDER BY s_suppkey""")),
+
+    // TPC-H Q22 shape (above-average customers with no RECENT orders —
+    // every customer in this data has SOME order, so the existence
+    // check is against a date-filtered orders set): global
+    // scalar-average subquery (1-row broadcast) + LEFT-ANTI existence
+    // check, grouped by nation (this schema carries no c_phone, so
+    // nationkey plays cntrycode). mavg is one IEEE division over an
+    // exact decimal sum — bit-identical threshold on both engines, so
+    // the > comparison selects identical customer sets.
+    Spec("join_q22_idle_rich",
+      (s, d) => {
+        val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+        val c = t(s, d, "customer")
+        val avgRow = c.where(col("c_acctbal") > 0)
+          .agg(mavg(col("c_acctbal")).as("avg_bal"))
+        val recent = t(s, d, "orders").where(col("o_orderdate") >= cut)
+        c.crossJoin(broadcast(avgRow))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), msum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS numcust,
+                 ${msumSql("c_acctbal")} AS totacctbal
+               FROM customer
+               WHERE c_acctbal > (SELECT ${mavgSql("c_acctbal")}
+                                  FROM customer WHERE c_acctbal > 0)
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+               GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // Deliberately skewed fact→dim join: half of lineitem is funneled
     // onto supplier key 1 (CASE on l_orderkey parity) — the hot-key shape
     // that melts one reducer at 100 TB. Two complementary mitigations in
