@@ -152,6 +152,48 @@ object LlmOps {
                SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
                GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // TF-IDF top-k terms per document — the corpus-ranking staple. Shape
+    // at 100 TB: two-phase hash aggregate to (doc, token) grain, a
+    // token-keyed shuffle join against document frequencies (both sides
+    // already co-keyed on token from their aggregates), a broadcast
+    // 1-row corpus size, then a per-doc top-k window (WindowGroupLimit
+    // pushes the k cutoff below the shuffle). IDF is the LINEAR ratio
+    // N/df, not ln(N/df): one IEEE divide+multiply on identical integers
+    // is bit-identical across engines, while ln() implementations may
+    // differ in the last ulp and break the hash oracle — rank order is
+    // unaffected (x ↦ ln is monotone).
+    Spec("text_tfidf_topk",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select("doc_id", "rnk", "token", "tf", "df", "score")
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH $toksSql,
+               tf AS (SELECT doc_id, token, count(*) AS tf
+                      FROM toks GROUP BY doc_id, token),
+               dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               scored AS (
+                 SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                   CAST(tf.tf AS DOUBLE)
+                     * (CAST((SELECT n_docs FROM n) AS DOUBLE) / dfx.df) AS score
+                 FROM tf JOIN dfx USING (token)),
+               ranked AS (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+                 FROM scored)
+               SELECT doc_id, rnk, token, tf, df, score
+               FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
     // ------------------------------------------------------ deduplication
     Spec("dedup_exact",
       (s, d) => t(s, d, "documents")
