@@ -18,7 +18,8 @@ object Plans {
     "evt_funnel", "evt_cohort_retention", "text_chunk",
     "join_q21_blame", "join_lateral_topk", "sql_recursive_cte",
     "agg_typed_weighted", "dedup_editdist", "pipeline_e2e",
-    "scan_dpp", "join_skew_aqe", "join_q15_toprevenue", "join_q22_idle_rich")
+    "scan_dpp", "join_skew_aqe", "join_q15_toprevenue", "join_q22_idle_rich",
+    "join_bucketed_colocated")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
 object Joins {
   import Tables._
 
+  /** External bucketed-table fixture: `table` written ONCE per sf as an
+    * 8-bucket, per-bucket-sorted parquet layout at a /tmp path (staging
+    * dir + atomic rename — the same cross-JVM protocol as
+    * Rel.partitionedEvents), then registered in the current session's
+    * catalog as an EXTERNAL bucketed table so the reader plans around
+    * the bucketing. The throwaway `_writer` registration exists because
+    * `bucketBy` writes only through `saveAsTable`; dropping it keeps the
+    * files (external path) while freeing the name. Later JVMs skip the
+    * write and only re-register the DDL.
+    */
+  private def bucketedTable(s: SparkSession, d: String,
+                            table: String, key: String): String = {
+    val tag = Integer.toHexString(d.hashCode)
+    val name = s"graft_bkt_${table}_$tag"
+    if (!s.catalog.tableExists(name)) {
+      val dest = new java.io.File(s"/tmp/graft_bkt_${table}_$tag")
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        val stage = java.nio.file.Files.createTempDirectory("graft_bkt_stage_").toFile
+        val writer = s"${name}_writer"
+        t(s, d, table).write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", stage.getPath).saveAsTable(writer)
+        s.sql(s"DROP TABLE $writer")
+        try java.nio.file.Files.move(stage.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the race: a concurrent writer already populated dest
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.AccessDeniedException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(stage)
+        }
+      }
+      s.sql(s"""CREATE TABLE $name (${t(s, d, table).schema.toDDL})
+                USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                LOCATION '${dest.getPath}'""")
+    }
+    name
+  }
+
   val all: Seq[Spec] = Seq(
     Spec("join_inner_broadcast",
       (s, d) => {
@@ -506,6 +545,29 @@ object Joins {
                     AND l3.l_returnflag = 'R')
               GROUP BY s_suppkey, s_name
               ORDER BY s_suppkey""")),
+
+    // Co-located fact-fact join via bucketed tables: both sides bucketed
+    // on the join key into the same bucket count at WRITE time, so the
+    // sort-merge join reads matching buckets directly — zero Exchange on
+    // either join key (asserted in SinksAndBucketingSpec; the only
+    // shuffle left is the downstream aggregate's). At 100 TB, bucketing
+    // the two biggest facts on their join key converts every subsequent
+    // join between them into a local merge — the single biggest shuffle
+    // eliminator available to a lakehouse layout. hint("merge") keeps
+    // the demonstration honest at small sf where orders would broadcast.
+    Spec("join_bucketed_colocated",
+      (s, d) => {
+        val li = s.table(bucketedTable(s, d, "lineitem", "l_orderkey"))
+        val o = s.table(bucketedTable(s, d, "orders", "o_orderkey"))
+        li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), msum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+                 ${msumSql("l_extendedprice")} AS sum_price
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // TPC-H Q15 shape (top supplier by revenue): the correlated
     // "revenue = (SELECT max(...))" predicate decorrelates to a 1-ROW

@@ -42,4 +42,16 @@ class SinksAndBucketingSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == li.count()) // FK join cardinality preserved
   }
+
+  test("declared join_bucketed_colocated: join keys never shuffle") {
+    val df = q("join_bucketed_colocated")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the only hash exchange allowed is the downstream aggregate's
+    // (o_orderstatus); the bucketed sides must merge without one
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+           !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join keys still shuffle:\n$plan")
+  }
 }
