@@ -658,6 +658,101 @@ object Joins {
                FROM lineitem l JOIN supplier s
                  ON s.s_suppkey = (CASE WHEN l.l_orderkey % 2 = 0
                                         THEN 1 ELSE l.l_suppkey END)
-               GROUP BY s_nationkey ORDER BY s_nationkey"""))
+               GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with a right-side-only predicate (pushed below the join —
+    // equivalent to an ON-clause extra condition for outer joins), a
+    // first aggregate at the JOIN KEY grain (c_custkey — reuses the
+    // join's hash partitioning, no second exchange), then a tiny
+    // re-aggregation over the distinct counts. count(o_orderkey)
+    // counts only matched rows; customers with no qualifying order
+    // land in the c_count=0 bucket — the outer-join semantics the
+    // histogram exists to surface.
+    Spec("join_q13_custdist",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+        t(s, d, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) t
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q19 shape (disjunctive join predicate): the OR-of-ANDs
+    // post-join filter shares one equi-key (p_partkey = l_partkey), so
+    // Catalyst plans a single hash join and — via constraint
+    // propagation — derives per-side residual filters (p_brand IN
+    // (...) AND p_size <= 30 to the part scan, l_quantity <= 40 to the
+    // lineitem scan) that reach the parquet PushedFilters. The
+    // anti-pattern this query exists to reject is a UNION of three
+    // joins: three fact scans instead of one.
+    Spec("join_q19_disjunctive",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val cond = col("p_partkey") === col("l_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 40)))
+        li.join(p, cond)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 1 AND 20)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                      AND l_quantity BETWEEN 10 AND 30)
+                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                      AND l_quantity BETWEEN 20 AND 40)
+               GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Runtime bloom-filter join pruning (InjectRuntimeFilter): when the
+    // dim is too big to broadcast, Spark can still pre-filter the FACT
+    // SCAN with a bloom filter built from the dim's join keys at
+    // runtime — at 100 TB this skips the shuffle write for every fact
+    // row whose key the filtered dim doesn't contain, the shuffle-join
+    // analogue of DPP. Local data is far below the 10 GiB application-
+    // side default, so the query runs in a child session (isolated
+    // conf, shared SparkContext) with the scan threshold lowered and
+    // broadcast disabled to force the shuffle-join shape; the bloom
+    // filter is extra plan structure only — results are unchanged
+    // (asserted green here, bloom presence asserted in BloomJoinSpec).
+    Spec("join_bloom_runtime",
+      (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val p = t(s, d, "part").where(col("p_size") <= 5)
+        t(s, d, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), msum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+                 ${msumSql("l_extendedprice")} AS sum_price
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_size <= 5
+               GROUP BY p_brand ORDER BY p_brand"""))
   )
 }
