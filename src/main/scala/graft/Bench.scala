@@ -49,6 +49,18 @@ object Bench {
         }
       name -> secs
     }
+    // Budget guard: any steady-state (min-of-2) query over 2 s is loud on
+    // stderr, so a regression is diagnosable from the driver tail alone.
+    results.filter(_._2 > 2.0).foreach { case (k, v) =>
+      System.err.println(f"[bench] SLOW $k $v%.2f")
+    }
+    // Per-category subtotals (category = query-name prefix): localizes a
+    // round-over-round delta to one operator family at a glance.
+    results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .foreach { case (cat, rs) =>
+        System.err.println(
+          f"[bench] subtotal $cat ${rs.map(_._2).sum}%.2f (${rs.size} queries)")
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -753,6 +753,71 @@ object Joins {
                  ${msumSql("l_extendedprice")} AS sum_price
                FROM lineitem JOIN part ON l_partkey = p_partkey
                WHERE p_size <= 5
-               GROUP BY p_brand ORDER BY p_brand"""))
+               GROUP BY p_brand ORDER BY p_brand""")),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS decorrelates to a
+    // LEFT-SEMI join with an equi key (orderkey) plus a NON-EQUI residual
+    // (this schema has no l_commitdate/l_receiptdate, so "late line item"
+    // is l_shipdate > o_orderdate — same correlated-comparison shape).
+    // Catalyst plans one hash semi-join with the residual evaluated on
+    // matches; each order is counted at most once no matter how many
+    // qualifying line items it has — the semantics EXISTS exists for, and
+    // exactly what a fact-side duplicate-producing inner join would get
+    // wrong. Date range prunes the orders scan (PushedFilters).
+    Spec("join_q4_priority",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        o.join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q14 shape (promotion effect): conditional-aggregate ratio over
+    // one month of lineitem ⋈ part. Both branches are EXACT decimal sums
+    // (msum) so the single IEEE division is over bit-identical operands on
+    // both engines; the CASE routes revenue into the promo branch without
+    // a second scan or join (the anti-pattern is two joins UNION'd). part
+    // broadcasts; the month filter reaches the lineitem scan.
+    Spec("join_q14_promo",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            msum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0)), 4).as("promo_revenue"),
+            msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("total_revenue"))
+          .select(
+            round(col("promo_revenue") * lit(100.0) / col("total_revenue"), 6)
+              .as("promo_pct"),
+            col("promo_revenue"), col("total_revenue"))
+      },
+      Some(s"""SELECT round(promo_revenue * 100.0 / total_revenue, 6) AS promo_pct,
+                 promo_revenue, total_revenue
+               FROM (
+                 SELECT
+                   ${msumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)} AS promo_revenue,
+                   ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00') t"""))
   )
 }

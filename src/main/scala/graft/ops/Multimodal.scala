@@ -186,6 +186,76 @@ object Multimodal {
                 CAST(sum(list_reduce(list_transform(
                   string_split_regex(frame, ''), ch -> ord(ch)), (a, b) -> a + b))
                   AS BIGINT) AS byte_sum
-              FROM f GROUP BY doc_id ORDER BY doc_id"""))
+              FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL image decode in a DECLARED query (closes the round-4 caveat that
+    // declared multimodal paths only ran the byte stub): deterministic RGB
+    // images are synthesized per doc inside the executors — pixel (x,y) of
+    // doc i has channels r=(7i+13x+31y)%256, g=(11i+17x+5y)%256,
+    // b=(3i+19x+23y)%256 — PNG-encoded with javax.imageio (lossless), then
+    // decoded BACK through the same [[ImageIoCodec]] mapPartitions seam the
+    // production pipeline uses (per-partition decoder session, closed via
+    // task-completion listener). The emitted per-channel integer sums are
+    // computed from the DECODED floats, so any decode defect (channel swap,
+    // row-major error, color-model drift, lossy re-encode) breaks the
+    // oracle, which restates the pixel formula independently in SQL.
+    // Embarrassingly parallel, zero shuffle before the presentation sort —
+    // the 100 TB shape is identical with real payloads read from parquet.
+    Spec("mm_decode_real",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val dec = ImageIoCodec.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+            it.map { id =>
+              val w = (id % 7 + 2).toInt
+              val h = (id % 5 + 2).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+                  val g = ((id * 11 + x * 17 + y * 5) % 256).toInt
+                  val b = ((id * 3 + x * 19 + y * 23) % 256).toInt
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val px = dec.decode(bos.toByteArray, w, h, 3)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                // decode emits k/255f; *255f + round restores k exactly
+                sr += math.round(px(i) * 255f).toLong
+                sg += math.round(px(i + 1) * 255f).toLong
+                sb += math.round(px(i + 2) * 255f).toLong
+                i += 3
+              }
+              (id, w.toLong, h.toLong, (w.toLong * h), sr, sg, sb)
+            }
+          }
+          .toDF("doc_id", "w", "h", "n_px", "sum_r", "sum_g", "sum_b")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+                SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+                FROM documents),
+              cells AS (
+                SELECT doc_id, w, h, gx.x AS x, gy.y AS y
+                FROM dims, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
+                WHERE gx.x < w AND gy.y < h)
+              SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                CAST(w * h AS BIGINT) AS n_px,
+                CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
+                CAST(sum((doc_id * 11 + x * 17 + y * 5) % 256) AS BIGINT) AS sum_g,
+                CAST(sum((doc_id * 3 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
+              FROM cells GROUP BY doc_id, w, h ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression tripwire (round-4 verdict #5): asserts, for EVERY
+  * declared query, the physical-plan invariants the 100 TB story depends
+  * on. A future Spark upgrade, conf change, or refactor that silently
+  * degrades a plan — a join falling back to a cartesian product, a
+  * nested-loop join appearing where a hash join was intended, DPP or the
+  * runtime bloom filter no longer firing, an exchange sneaking above a
+  * bucketed scan — fails here with the query name in the test title,
+  * before it ever reaches a bench regression.
+  *
+  * The allowlists are EXPLICIT and justified inline; anything new that
+  * plans a cartesian/BNLJ must either fix its plan or argue its way into
+  * the list.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Queries allowed to plan CartesianProduct: only the declared cross
+    * join (5×25 rows by construction).
+    */
+  private val cartesianAllow = Set("join_cross")
+
+  /** Queries allowed to plan BroadcastNestedLoopJoin — each is either a
+    * deliberate cross/theta shape or a broadcast of a BOUNDED side:
+    *  - join_cross: the declared cartesian (tiny dims; broadcast variant)
+    *  - join_theta_range: pure non-equi predicate — no equi key exists,
+    *    BNLJ over a broadcast bounded side IS the plan (the binned/auto
+    *    range joins are the scale path)
+    *  - join_q15_toprevenue / join_q22_idle_rich / text_tfidf_topk:
+    *    1-row global-scalar subquery broadcast back onto the relation —
+    *    the standard decorrelation
+    *  - sim_* / dedup_embed_cosine / sim_knn_classify: fixed probe set
+    *    (vec_id predicate) broadcast against the corpus with a non-equi
+    *    self-exclusion — scan ∥ broadcast ∥ fold, zero shuffle
+    */
+  private val bnljAllow = Set(
+    "join_cross", "join_theta_range",
+    "join_q15_toprevenue", "join_q22_idle_rich", "text_tfidf_topk",
+    "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
+    "sim_knn_classify", "dedup_embed_cosine")
+
+  for (spec <- SparkEntry.specs) {
+    test(s"plan guard: ${spec.name}") {
+      val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
+      if (!cartesianAllow(spec.name))
+        assert(!plan.contains("CartesianProduct"),
+          s"${spec.name} plans a CartesianProduct:\n${plan.linesIterator.take(30).mkString("\n")}")
+      if (!bnljAllow(spec.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${spec.name} plans a BroadcastNestedLoopJoin:\n${plan.linesIterator.take(30).mkString("\n")}")
+    }
+  }
+
+  test("plan guard: scan_dpp keeps its DynamicPruningExpression") {
+    val plan = q("scan_dpp").queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "scan_dpp lost dynamic partition pruning")
+  }
+
+  test("plan guard: join_bloom_runtime keeps its runtime bloom filter") {
+    val opt = q("join_bloom_runtime").queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") || opt.contains("BloomFilterMightContain"),
+      "join_bloom_runtime lost its injected bloom filter")
+  }
+
+  test("plan guard: join_bucketed_colocated joins without re-shuffling either side") {
+    val plan = q("join_bucketed_colocated").queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "bucketed join no longer sort-merge")
+    // bucketing must satisfy the join's distribution: the ONLY hash
+    // exchange permitted is the one ABOVE the join for the groupBy —
+    // neither join key may be re-partitioned
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side re-shuffled despite bucketing")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side re-shuffled despite bucketing")
+  }
+}
