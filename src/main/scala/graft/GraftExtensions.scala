@@ -43,6 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CosineSimExpr(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCountExpr].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count expects 2 arguments (array<string>, array<string>), got ${exprs.length}")
+        graft.functions.SortedIntersectCountExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantilesAgg].getName, "kll_quantiles"),
       graft.functions.KllQuantilesAgg.builder _))

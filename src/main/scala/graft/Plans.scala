@@ -19,7 +19,9 @@ object Plans {
     "join_q21_blame", "join_lateral_topk", "sql_recursive_cte",
     "agg_typed_weighted", "dedup_editdist", "pipeline_e2e",
     "scan_dpp", "join_skew_aqe", "join_q15_toprevenue", "join_q22_idle_rich",
-    "join_bucketed_colocated")
+    "join_bucketed_colocated",
+    "join_q4_priority", "join_q14_promo", "mm_decode_real",
+    "dedup_minhash_full", "dedup_allpairs_exact")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

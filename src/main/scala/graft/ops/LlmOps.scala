@@ -71,17 +71,22 @@ object LlmOps {
                (x, i) -> {'pos': i - 1, 'token': x})) AS u
            FROM documents))"""
 
-  /** MinHash banding — the sub-quadratic dedup path, parameterized by an
-    * optional probe bound. The LSH stage only GENERATES candidates (at a
-    * loose feature-space threshold 0.5, so the miss probability for a true
-    * ≥0.9-Jaccard pair is (1-0.9)^8 ≈ 1e-8 across the 8 OR'd hash tables);
-    * every candidate is re-verified with EXACT token-set Jaccard and
-    * filtered at 0.9. The reported set is therefore deterministic =
-    * "all pairs with exact Jaccard ≥ 0.9", which the oracle states
-    * directly. With `bound = None` the input is the ENTIRE corpus — no
-    * fixed-probe crutch: candidate generation stays banded/bucketed
-    * (hash-exploded bucket join), never all-pairs, so the shape is
-    * sub-quadratic at any corpus size.
+  /** MinHash banding via MLlib on a bounded probe window. The LSH stage
+    * only GENERATES candidates (at a loose feature-space threshold 0.5, so
+    * the miss probability for a true ≥0.9-Jaccard pair is (1-0.9)^8 ≈ 1e-8
+    * across the 8 OR'd hash tables); every candidate is re-verified with
+    * EXACT token-set Jaccard and filtered at 0.9. The reported set is
+    * therefore deterministic = "all pairs with exact Jaccard ≥ 0.9", which
+    * the oracle states directly.
+    *
+    * This MLlib path is deliberately NOT used for the unbounded corpus:
+    * `approxSimilarityJoin` evaluates `keyDistance` per candidate inside
+    * the hash-bucket join, so a large near-dup clique (one hot bucket)
+    * becomes a single multi-minute task — measured 20+ min on one core at
+    * sf0.1, where the corpus carries ~10⁶ true ≥0.9 pairs. The full-corpus
+    * path is [[minhashBandCandidates]] + [[verifyAndExpand]], which
+    * separates cheap pair EMISSION from verification so the expensive part
+    * redistributes.
     */
   private def minhashDedup(s: SparkSession, d: String,
                            bound: Option[Long]): DataFrame = {
@@ -135,6 +140,165 @@ object LlmOps {
                      JOIN sizes s2 ON d2 = s2.doc_id)
         SELECT d1, d2, inter, n1, n2, round(jaccard, 6) AS jaccard
         FROM j WHERE jaccard >= 0.9 ORDER BY d1, d2"""
+
+  // ------------------------------------------------------------------
+  // Corpus-scale dedup machinery (shared by dedup_minhash_full and
+  // dedup_allpairs_exact). Three-stage design, each stage sized for the
+  // dense-near-dup corpora LLM pipelines actually see (this testdata has
+  // ~10⁶ true ≥0.9 pairs at sf0.1 — pair output is inherently quadratic
+  // in clique size, so everything BEFORE expansion works at token-SET
+  // granularity and the clique blow-up happens only at emission):
+  //  1. group docs by DISTINCT TOKEN SET (exact dedup of word-order
+  //     shuffles — one shuffle, cuts every later stage by the duplication
+  //     factor);
+  //  2. generate candidate SET pairs sub-quadratically (banded minhash or
+  //     exact prefix filter), with the ≥0.9 length-ratio bound
+  //     (10·min(n1,n2) ≥ 9·max — a valid exact pruning) applied inside
+  //     the bucket join;
+  //  3. verify candidates with one codegen'd array_intersect per SET pair
+  //     — never per doc pair — then expand to doc pairs.
+  // ------------------------------------------------------------------
+
+  /** Documents grouped by distinct token set: (ts, set_id, members, nt).
+    * `members` is bounded by the near-dup clique size; collect_list here
+    * is the same O(clique) memory the final pair expansion pays anyway.
+    *
+    * CACHED: the groups relation is consumed 6-9× per dedup query
+    * (signatures, both candidate join sides, both verify sides, both
+    * member expansions, the within-clique pairs), and column pruning
+    * specializes each consumer's aggregate so exchange reuse never fires
+    * — measured 7 independent recomputations of the scan→shuffle→agg
+    * subtree in one query plan. Materializing it once is the standard
+    * move for a shared dedup intermediate; memory is O(#distinct sets),
+    * storage-level default (MEMORY_AND_DISK, LRU-evictable).
+    */
+  private[graft] def tokenSetGroups(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .groupBy("ts")
+      .agg(min("doc_id").as("set_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("nt", size(col("ts")).cast("long"))
+      .cache()
+
+  /** Candidate set pairs via hand-rolled banded MinHash: 8 signatures per
+    * set as `array_min(transform(ts, xxhash64(band, token)))` — pure
+    * codegen, no shuffle — exploded to (band, hash) keys and self-joined
+    * per bucket. Equality on any one of 8 independent minhashes misses a
+    * true ≥0.9 pair with probability (1-0.9)^8 = 1e-8. The bucket join
+    * only EMITS (sa, sb) — verification happens after redistribution, so
+    * a hot bucket (a giant clique) costs pair emission, not Jaccard math,
+    * on its single task.
+    */
+  private[graft] def minhashBandCandidates(groups: DataFrame): DataFrame = {
+    val k = 8
+    val sig = groups.select(col("set_id"), col("nt"),
+      array((0 until k).map(i => array_min(transform(col("ts"),
+        tkn => xxhash64(lit(i), tkn)))): _*).as("sig"))
+    val bands = sig.select(col("set_id"), col("nt"),
+      posexplode(col("sig")).as(Seq("band", "h")))
+    val a = bands.select(col("set_id").as("sa"), col("nt").as("na"),
+      col("band"), col("h"))
+    val b = bands.select(col("set_id").as("sb"), col("nt").as("nb"),
+      col("band"), col("h"))
+    // a near-identical pair matches on ~all k bands; distinct collapses
+    // the ≤k× duplication in one hash-shuffle (measured cheaper than a
+    // first-match-band predicate, which must evaluate an array compare on
+    // every pre-filter joined row)
+    a.join(b, Seq("band", "h"))
+      .where(col("sa") < col("sb") &&
+        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+      .select("sa", "sb").distinct()
+  }
+
+  /** Candidate set pairs via EXACT prefix filtering (the AllPairs/PPJoin
+    * family): rank each set's tokens by global rarity (df, token — one
+    * total order shared by all sets), index only the first
+    * ⌊nt/10⌋+1 rarest tokens, and self-join on those. Two sets with
+    * Jaccard ≥ 0.9 MUST share a prefix token under any common total
+    * order, so recall is 1.0 by theorem, not probability — and common
+    * tokens (the df-heavy tail that makes a naive inverted-index join
+    * quadratic) are never indexed.
+    */
+  private[graft] def prefixCandidates(groups: DataFrame): DataFrame = {
+    val tk = groups.select(col("set_id"), col("nt"), explode(col("ts")).as("token"))
+    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    // cached for the same reason as tokenSetGroups: both self-join sides
+    // consume this relation and the window subtree would otherwise run
+    // twice; it holds only the ⌊nt/10⌋+1 prefix tokens per SET (~0.4 rows
+    // per document at 10% prefix), far smaller than the corpus
+    val ranked = tk.join(dfreq, "token")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("set_id").orderBy(col("df"), col("token"))))
+      .where(col("rk") <= floor(col("nt") / lit(10)) + 1)
+      .cache()
+    val a = ranked.select(col("set_id").as("sa"), col("nt").as("na"), col("token"))
+    val b = ranked.select(col("set_id").as("sb"), col("nt").as("nb"), col("token"))
+    a.join(b, Seq("token"))
+      .where(col("sa") < col("sb") &&
+        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+      .select("sa", "sb").distinct()
+  }
+
+  /** Exact verification at SET granularity + expansion to doc pairs.
+    * One array_intersect per candidate SET pair (codegen'd, redistributed
+    * by the candidates' `distinct` shuffle — never stuck on the bucket
+    * join's hot task); identical-set groups expand directly to
+    * jaccard-1.0 pairs with no verification at all. n1/n2 follow the
+    * d1<d2 orientation. The set-metadata joins are size-based (no
+    * broadcast hint): set count ≪ doc count by the duplication factor,
+    * but it is corpus-proportional, so the hint is left to Catalyst.
+    */
+  private def verifyAndExpand(groups: DataFrame, cand: DataFrame): DataFrame = {
+    val g1 = groups.select(col("set_id").as("sa"), col("ts").as("ts1"),
+      col("nt").as("na"))
+    val g2 = groups.select(col("set_id").as("sb"), col("ts").as("ts2"),
+      col("nt").as("nb"))
+    // intersection size via the native merge expression: both ts arrays
+    // are sorted+distinct by construction, so a linear merge replaces
+    // array_intersect's per-row hash set + materialized array — measured
+    // ~18 s → sub-second on the 2M-candidate verify at sf0.1 (the filter
+    // and project stages each re-evaluate the expression, multiplying
+    // whatever it costs)
+    val setPairs = cand
+      .join(g1, "sa").join(g2, "sb")
+      .withColumn("inter", expr("sorted_intersect_count(ts1, ts2)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.9)
+      .select("sa", "sb", "inter", "na", "nb", "jaccard")
+    // member lists join AFTER the ≥0.9 filter, so the clique arrays ride
+    // only on survivors, never on the full candidate stream
+    val mem1 = groups.select(col("set_id").as("sa"), col("members").as("m1"))
+    val mem2 = groups.select(col("set_id").as("sb"), col("members").as("m2"))
+    val cross = setPairs
+      .join(mem1, "sa").join(mem2, "sb")
+      .select(col("inter"), col("na"), col("nb"), col("jaccard"),
+        explode(col("m1")).as("da"), col("m2"))
+      .select(col("inter"), col("na"), col("nb"), col("jaccard"),
+        col("da"), explode(col("m2")).as("db"))
+      .select(
+        least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        col("inter"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n1"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("n2"),
+        col("jaccard"))
+    val within = groups.where(size(col("members")) > 1)
+      .select(col("nt"), col("members"),
+        posexplode(col("members")).as(Seq("i", "d1")))
+      .select(col("nt"), col("d1"), col("i"),
+        posexplode(col("members")).as(Seq("j", "d2")))
+      .where(col("i") < col("j"))
+      .select(col("d1"), col("d2"), col("nt").as("inter"),
+        col("nt").as("n1"), col("nt").as("n2"),
+        (col("nt").cast("double") / col("nt")).as("jaccard"))
+    cross.unionByName(within)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
 
   val all: Seq[Spec] = Seq(
     // ------------------------------------------------------ text analysis
@@ -312,12 +476,32 @@ object LlmOps {
       (s, d) => minhashDedup(s, d, Some(200L)),
       Some(minhashOracleSql("WHERE doc_id < 200"))),
 
-    // The same banded path over the ENTIRE corpus — no probe bound at all
-    // (round-4 verdict #4): proves the sub-quadratic candidate generation
-    // end-to-end with the full documents table as input. The oracle pays
-    // the quadratic price so the engine doesn't have to.
+    // Banded MinHash over the ENTIRE corpus — no probe bound at all
+    // (round-4 verdict #4): token-set grouping → hand-rolled 8-band
+    // minhash bucket join → set-level exact verify → pair expansion (see
+    // the corpus-scale dedup machinery above for why MLlib's
+    // approxSimilarityJoin is the wrong shape at this corpus density).
+    // The oracle pays the quadratic price so the engine doesn't have to.
     Spec("dedup_minhash_full",
-      (s, d) => minhashDedup(s, d, None),
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val groups = tokenSetGroups(s, d)
+        verifyAndExpand(groups, minhashBandCandidates(groups))
+      },
+      Some(minhashOracleSql(""))),
+
+    // The same relation with recall 1.0 BY THEOREM: exact prefix-filtered
+    // all-pairs similarity join (AllPairs/PPJoin family) — rank tokens by
+    // global rarity, index only each set's ⌊nt/10⌋+1 rarest, join on
+    // those. No probabilistic caveat at any corpus size, and the df-heavy
+    // common tokens that blow up a naive inverted-index join are never
+    // indexed. Production default when exactness is contractual.
+    Spec("dedup_allpairs_exact",
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val groups = tokenSetGroups(s, d)
+        verifyAndExpand(groups, prefixCandidates(groups))
+      },
       Some(minhashOracleSql(""))),
 
     // ------------------------------------------------------ similarity
