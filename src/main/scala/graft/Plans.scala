@@ -21,7 +21,8 @@ object Plans {
     "scan_dpp", "join_skew_aqe", "join_q15_toprevenue", "join_q22_idle_rich",
     "join_bucketed_colocated",
     "join_q4_priority", "join_q14_promo", "mm_decode_real",
-    "dedup_minhash_full", "dedup_allpairs_exact")
+    "dedup_minhash_full", "dedup_allpairs_exact", "dedup_canonical",
+    "dedup_cc_labelprop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -121,12 +121,12 @@ object LlmOps {
       .orderBy("d1", "d2")
   }
 
-  /** Oracle for [[minhashDedup]]: the exact ≥0.9-Jaccard pair relation,
-    * stated via the quadratic token self-join DuckDB can afford at oracle
-    * scale. `boundPred` filters the token stream ("" = full corpus).
+  /** Shared oracle CTE: the exact Jaccard pair relation `j`, via the
+    * quadratic token self-join DuckDB can afford at oracle scale.
+    * `boundPred` filters the token stream ("" = full corpus).
     */
-  private def minhashOracleSql(boundPred: String): String =
-    s"""WITH $toksSql,
+  private def pairCte(boundPred: String): String =
+    s"""$toksSql,
         tk AS (SELECT DISTINCT doc_id, token FROM toks $boundPred),
         sizes AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
         pairs AS (
@@ -137,7 +137,11 @@ object LlmOps {
           SELECT d1, d2, inter, s1.nt AS n1, s2.nt AS n2,
             CAST(inter AS DOUBLE) / (s1.nt + s2.nt - inter) AS jaccard
           FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
-                     JOIN sizes s2 ON d2 = s2.doc_id)
+                     JOIN sizes s2 ON d2 = s2.doc_id)"""
+
+  /** Oracle for the pair-emitting dedups: all ≥0.9 pairs, sorted. */
+  private def minhashOracleSql(boundPred: String): String =
+    s"""WITH ${pairCte(boundPred)}
         SELECT d1, d2, inter, n1, n2, round(jaccard, 6) AS jaccard
         FROM j WHERE jaccard >= 0.9 ORDER BY d1, d2"""
 
@@ -241,16 +245,15 @@ object LlmOps {
       .select("sa", "sb").distinct()
   }
 
-  /** Exact verification at SET granularity + expansion to doc pairs.
-    * One array_intersect per candidate SET pair (codegen'd, redistributed
-    * by the candidates' `distinct` shuffle — never stuck on the bucket
-    * join's hot task); identical-set groups expand directly to
-    * jaccard-1.0 pairs with no verification at all. n1/n2 follow the
-    * d1<d2 orientation. The set-metadata joins are size-based (no
-    * broadcast hint): set count ≪ doc count by the duplication factor,
-    * but it is corpus-proportional, so the hint is left to Catalyst.
+  /** Exact verification at SET granularity: candidate (sa, sb) pairs →
+    * surviving pairs with (inter, na, nb, jaccard). One intersection per
+    * candidate SET pair (codegen'd, redistributed by the candidates'
+    * `distinct` shuffle — never stuck on the bucket join's hot task).
+    * The set-metadata joins are size-based (no broadcast hint): set
+    * count ≪ doc count by the duplication factor, but it is
+    * corpus-proportional, so the hint is left to Catalyst.
     */
-  private def verifyAndExpand(groups: DataFrame, cand: DataFrame): DataFrame = {
+  private def verifySetPairs(groups: DataFrame, cand: DataFrame): DataFrame = {
     val g1 = groups.select(col("set_id").as("sa"), col("ts").as("ts1"),
       col("nt").as("na"))
     val g2 = groups.select(col("set_id").as("sb"), col("ts").as("ts2"),
@@ -261,13 +264,21 @@ object LlmOps {
     // ~18 s → sub-second on the 2M-candidate verify at sf0.1 (the filter
     // and project stages each re-evaluate the expression, multiplying
     // whatever it costs)
-    val setPairs = cand
+    cand
       .join(g1, "sa").join(g2, "sb")
       .withColumn("inter", expr("sorted_intersect_count(ts1, ts2)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= 0.9)
       .select("sa", "sb", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Expansion of surviving set pairs to doc pairs; identical-set groups
+    * expand directly to jaccard-1.0 pairs with no verification at all.
+    * n1/n2 follow the d1<d2 orientation.
+    */
+  private def verifyAndExpand(groups: DataFrame, cand: DataFrame): DataFrame = {
+    val setPairs = verifySetPairs(groups, cand)
     // member lists join AFTER the ≥0.9 filter, so the clique arrays ride
     // only on survivors, never on the full candidate stream
     val mem1 = groups.select(col("set_id").as("sa"), col("members").as("m1"))
@@ -294,10 +305,12 @@ object LlmOps {
       .select(col("d1"), col("d2"), col("nt").as("inter"),
         col("nt").as("n1"), col("nt").as("n2"),
         (col("nt").cast("double") / col("nt")).as("jaccard"))
+    // unsorted: pair-relation callers append the presentation ORDER BY;
+    // the canonical-assignment consumer aggregates instead and must not
+    // pay a useless global sort of the quadratic pair stream
     cross.unionByName(within)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   val all: Seq[Spec] = Seq(
@@ -487,6 +500,7 @@ object LlmOps {
         graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
         verifyAndExpand(groups, minhashBandCandidates(groups))
+          .orderBy("d1", "d2")
       },
       Some(minhashOracleSql(""))),
 
@@ -501,8 +515,127 @@ object LlmOps {
         graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
         verifyAndExpand(groups, prefixCandidates(groups))
+          .orderBy("d1", "d2")
       },
       Some(minhashOracleSql(""))),
+
+    // Production dedup OUTPUT: linear, not quadratic. Every document maps
+    // to a canonical representative — the minimum doc_id over its ≥0.9
+    // neighborhood, itself included (single hop: deterministic and
+    // oracle-expressible without iterative connected components; full
+    // transitive closure is an iterative driver loop a pipeline runs on
+    // top of exactly this edge relation). At 100 TB the pair listing the
+    // sibling queries emit is diagnostics; THIS row-per-doc table, joined
+    // back on doc_id with `keep = (doc_id = canonical_id)`, is what the
+    // training-data pipeline consumes. Reuses the cached groups + banded
+    // candidates + set-level verify; the aggregation replaces the
+    // quadratic pair sort with one hash shuffle at doc grain.
+    Spec("dedup_canonical",
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val groups = tokenSetGroups(s, d)
+        val pairs = verifyAndExpand(groups, minhashBandCandidates(groups))
+        val edges = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
+          .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
+        t(s, d, "documents").select("doc_id")
+          .join(edges, Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(min(col("nb")).as("mn"), count(col("nb")).as("n_neighbors"))
+          .select(col("doc_id"),
+            least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+              .as("canonical_id"),
+            col("n_neighbors"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${pairCte("")},
+               p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.9),
+               edges AS (SELECT d1 AS doc_id, d2 AS nb FROM p
+                         UNION ALL SELECT d2 AS doc_id, d1 AS nb FROM p)
+               SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(e.nb), d.doc_id)) AS canonical_id,
+                 count(e.nb) AS n_neighbors
+               FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
+               GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // TRANSITIVE dedup clusters: connected components of the ≥0.9 graph
+    // via min-label propagation — the iterative driver loop dedup_canonical
+    // documents, made a first-class operator. The iteration runs on the
+    // CONTRACTED graph: components of the doc graph equal components of
+    // the token-SET graph (identical-set members are mutually connected,
+    // doc edges come from set edges), and `set_id` IS its set's min doc,
+    // so the set-graph fixpoint label is directly the component's min
+    // doc_id — at sf0.1 that is ~29k set edges instead of ~1.9M doc
+    // edges, and the 10⁶-pair expansion never runs at all (measured
+    // 17.6 s → ~2 s). Each round: every set takes the min of its own and
+    // its neighbors' labels (one edge⋈label join + min-aggregate);
+    // converged when no label changes, bounded by the component diameter
+    // (near-dup graphs are clique-dense — single digits). localCheckpoint
+    // truncates the growing lineage each round so plan size stays O(1) —
+    // THE Spark-iterative idiom (same mechanics as MLlib's own iterative
+    // jobs). Fixpoint = min doc_id reachable per doc: deterministic
+    // regardless of iteration order, which is what makes an exact oracle
+    // possible (DuckDB states it as recursive-CTE reachability).
+    Spec("dedup_cc_labelprop",
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val groups = tokenSetGroups(s, d)
+        val setPairs = verifySetPairs(groups, minhashBandCandidates(groups))
+        val edgesRaw = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
+          .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
+          .localCheckpoint()
+        // size the iteration's parallelism to the CONTRACTED graph: the
+        // per-round cost of a tiny graph at full shuffle width is pure
+        // scheduler overhead (measured ~1.6 s/round at 32 partitions vs
+        // ~0.2 s at 1 for a 58k-edge graph); a 100 TB corpus contracts to
+        // millions of sets and scales the width back up
+        val p = math.max(1, math.min(32, (edgesRaw.count() / 500000L).toInt))
+        val edges = edgesRaw.repartition(p).localCheckpoint()
+        var labels = groups.select(col("set_id").as("sid"),
+          col("set_id").as("lbl")).repartition(p).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          val nbMin = edges
+            .join(labels.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
+            .groupBy("sid").agg(min("nlbl").as("mn"))
+          val stepped = labels.join(nbMin, Seq("sid"), "left")
+            .select(col("sid"), col("lbl").as("prev"),
+              least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+          // pointer doubling: follow the label's own label (lbl(lbl(v)))
+          // so a min travels exponentially along drift CHAINS — plain
+          // neighbor-min needs O(chain length) rounds, this needs O(log).
+          // Sound because lbl(v) is always a node reachable from v, so
+          // lbl(lbl(v)) is too; convergence compares against the PREVIOUS
+          // round's labels (not the intermediate step) so a round that
+          // still lowered any label never reads as a fixpoint.
+          val next = stepped
+            .join(stepped.select(col("sid").as("lbl"),
+              col("lbl").as("plbl")), Seq("lbl"), "left")
+            .select(col("sid"), col("prev"),
+              coalesce(col("plbl"), col("lbl")).as("nxt"))
+            .localCheckpoint()
+          changed = next.where(col("nxt") =!= col("prev")).count()
+          // lazy projection over the checkpointed `next` — no third
+          // materialization job per round
+          labels = next.select(col("sid"), col("nxt").as("lbl"))
+          iter += 1
+        }
+        System.err.println(s"[graft] dedup_cc_labelprop converged after $iter rounds")
+        groups.select(col("set_id").as("sid"), explode(col("members")).as("doc_id"))
+          .join(labels, "sid")
+          .select(col("doc_id"), col("lbl").as("component_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${pairCte("")},
+               p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.9),
+               e AS (SELECT d1 AS s, d2 AS t FROM p
+                     UNION ALL SELECT d2 AS s, d1 AS t FROM p),
+               reach(s, t) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+               SELECT s AS doc_id, min(t) AS component_id
+               FROM reach GROUP BY s ORDER BY s""")),
 
     // ------------------------------------------------------ similarity
     Spec("sim_cosine_topk",
