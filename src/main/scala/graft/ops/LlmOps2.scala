@@ -201,6 +201,64 @@ object LlmOps2 {
                   FROM documents))
               ORDER BY doc_id""")),
 
+    // PII scrubbing — the redaction stage every training-data pipeline
+    // runs before tokenization. The fixture text carries no natural PII,
+    // so a deterministic email + phone is synthesized per doc (derived
+    // from doc_id) and then scrubbed back out: the oracle applies the
+    // same construction and the same two regex replacements, so a pattern
+    // that over- or under-matches on either engine hash-mismatches.
+    // Pure per-row codegen'd regex work — no shuffle before the
+    // presentation sort, embarrassingly parallel at any corpus size.
+    Spec("text_pii_scrub",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        aug.select(col("doc_id"),
+            expr("""size(regexp_extract_all(text,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0))""")
+              .cast("long").as("n_emails"),
+            expr("""size(regexp_extract_all(text, '\\+1-555-[0-9]{4}', 0))""")
+              .cast("long").as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("text"),
+                lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit("<EMAIL>")),
+              lit("\\+1-555-[0-9]{4}"), lit("<PHONE>")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+                SELECT doc_id,
+                  text || ' contact user' || doc_id ||
+                    '@mail.example.org or call +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text,
+                  '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+              FROM aug ORDER BY doc_id""")),
+
+    // Deterministic hash sampling — the debuggable alternative to rand()
+    // sampling: selection depends only on content (md5 agrees bit-for-bit
+    // across engines), so the SAME rows come back on every engine, every
+    // run, every partitioning — which is why it can be oracle-checked at
+    // all and why pipeline debugging prefers it (a flagged doc stays in
+    // the sample on re-run). 1-in-16 via the first hex nibble; filter is
+    // pushdown-adjacent per-row work, no shuffle.
+    Spec("sample_hash",
+      (s, d) => t(s, d, "documents")
+        .where(expr("substring(md5(text), 1, 1) = '0'"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE substring(md5(text), 1, 1) = '0' ORDER BY doc_id""")),
+
     // Embedding-cosine near-dup report over a fixed window: top-20 most
     // similar pairs + dup flag. (This synthetic corpus has no true
     // embedding dups — max pairwise cosine ≈ 0.44 — so the flag column
