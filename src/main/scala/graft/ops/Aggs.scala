@@ -326,6 +326,33 @@ object Aggs {
                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
                 count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 count(CASE WHEN event_type = 'view' THEN 1 END) AS view
-              FROM events GROUP BY user_id ORDER BY user_id"""))
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // TPC-H Q6 shape (forecast revenue change): the canonical
+    // scan-filter-aggregate — every predicate (date range, discount band,
+    // quantity cap) is scan-pushable, so at 100 TB this is a pure
+    // parquet-stat-pruned columnar scan feeding one partial+final
+    // aggregate, no shuffle of data rows at all. Revenue is an exact
+    // decimal sum (msum); the discount bounds are DOUBLE-cast on the
+    // DuckDB side so both engines compare the same binary64 literals.
+    Spec("agg_q6_forecast",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24.0)
+          .agg(msum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT ${msumSql("l_extendedprice * l_discount", 4)} AS revenue,
+                 count(*) AS n_items
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_discount >= CAST(0.05 AS DOUBLE)
+                 AND l_discount <= CAST(0.07 AS DOUBLE)
+                 AND l_quantity < 24.0"""))
   )
 }

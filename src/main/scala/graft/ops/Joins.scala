@@ -818,6 +818,142 @@ object Joins {
                    ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue
                  FROM lineitem JOIN part ON l_partkey = p_partkey
                  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00') t"""))
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00') t""")),
+
+    // TPC-H Q5 shape (local-supplier volume): the classic 6-table chain —
+    // customer ⋈ orders ⋈ lineitem ⋈ supplier with the "local" twist that
+    // the supplier must sit in the CUSTOMER's nation (c_nationkey =
+    // s_nationkey rides on the supplier equi-join, not as a post-filter).
+    // nation and region broadcast; the r_name filter prunes nations before
+    // the fact join, and the order-year filter reaches the orders scan.
+    // At 100 TB the only shuffles are the two fact-fact hash joins on
+    // orderkey — the dimension chain is exchange-free.
+    Spec("join_q5_local_supplier",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some(s"""SELECT n_name,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+               FROM customer
+               JOIN orders   ON c_custkey  = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               JOIN supplier ON l_suppkey  = s_suppkey
+                            AND c_nationkey = s_nationkey
+               JOIN nation   ON s_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+               GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q8 shape (national market share): what fraction of AMERICA's
+    // PROMO-part import volume was supplied from NATION_7, by order year.
+    // nation joins TWICE under different roles (customer's nation routes
+    // through region to the AMERICA filter; supplier's nation labels the
+    // share) — the role split is two broadcast copies, not a self-join
+    // shuffle. Numerator and denominator are one pass over the same rows
+    // (CASE-routed exact decimal sums), so the share is a single IEEE
+    // division of bit-identical operands. part is pre-filtered to PROMO
+    // before broadcasting — the fact scan shrinks at the first join.
+    Spec("join_q8_market_share",
+      (s, d) => {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        val custNation = t(s, d, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val suppNation = t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").where(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "AMERICA")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .select(year(col("o_orderdate")).as("o_year"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(
+            msum(when(col("supp_nation") === "NATION_7", col("volume"))
+              .otherwise(lit(0.0)), 4).as("nation_volume"),
+            msum(col("volume"), 4).as("total_volume"))
+          .select(col("o_year"),
+            round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+            col("nation_volume"), col("total_volume"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT o_year, round(nation_volume / total_volume, 6) AS mkt_share,
+                 nation_volume, total_volume
+               FROM (
+                 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   ${msumSql("CASE WHEN sn.n_name = 'NATION_7' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)} AS nation_volume,
+                   ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_volume
+                 FROM lineitem
+                 JOIN part     ON l_partkey = p_partkey
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation cn ON c_nationkey = cn.n_nationkey
+                 JOIN region   ON cn.n_regionkey = r_regionkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation sn ON s_nationkey = sn.n_nationkey
+                 WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                 GROUP BY CAST(year(o_orderdate) AS INT)) t
+               ORDER BY o_year""")),
+
+    // TPC-H Q9 shape (product-type profit by nation and year), minus the
+    // partsupp cost term the testdata cannot express (no partsupp table —
+    // recorded in SURVEY round notes): profit = revenue on parts matching
+    // a name token, attributed to the SUPPLIER's nation. part is filtered
+    // by the LIKE before its broadcast; supplier and nation broadcast; the
+    // two fact joins (lineitem ⋈ orders on orderkey) are the only
+    // shuffles. Grouped on (nation, year) — a cardinality-bounded key
+    // (25 × 7) regardless of fact size.
+    Spec("join_q9_profit",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("profit"))
+        .orderBy(asc("nation"), desc("o_year")),
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                 ${msumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS profit
+               FROM lineitem
+               JOIN part     ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation   ON s_nationkey = n_nationkey
+               JOIN orders   ON l_orderkey = o_orderkey
+               WHERE p_name LIKE '%red%'
+               GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
   )
 }

@@ -362,6 +362,135 @@ object LlmOps2 {
                       / (p.nrm * v.nrm), 6) DESC, v.vec_id) AS rnk
                 FROM emb2 p JOIN emb2 v ON v.vec_id <> p.vec_id
                 WHERE p.vec_id >= 5 AND p.vec_id < 10) WHERE rnk <= 5
-              ORDER BY p_id, rnk"""))
+              ORDER BY p_id, rnk""")),
+
+    // Repetition detection — the Gopher-style quality filter that catches
+    // degenerate boilerplate: per doc, the duplicate-token fraction
+    // (1 - distinct/total) and the share of the doc taken by its single
+    // most-repeated bigram. Token stats are per-row array ops (no
+    // shuffle); the bigram pass explodes to (doc, pos) grain, windows by
+    // doc_id (high-cardinality key — partitions evenly at any corpus
+    // size), and aggregates back to one row per doc. Ratios round after
+    // exact integer counts, so the hash oracle is safe.
+    Spec("text_repetition",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bigrams = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("nxt", lead(col("token"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("doc_id"), concat(col("token"), lit(" "), col("nxt")).as("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(max("cnt").as("max_bigram"), sum("cnt").as("n_bigrams"))
+        docs
+          .withColumn("arr", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("arr")).cast("long").as("n_tokens"),
+            size(array_distinct(col("arr"))).cast("long").as("n_distinct"))
+          .join(bigrams, "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+              .as("dup_token_ratio"),
+            round(col("max_bigram").cast("double") / col("n_bigrams"), 6)
+              .as("top_bigram_frac"))
+          .withColumn("repetitive",
+            col("dup_token_ratio") > 0.9 || col("top_bigram_frac") > 0.18)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS token,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents),
+              bg AS (
+                SELECT doc_id,
+                  token || ' ' || lead(token, 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS bigram
+                FROM toks),
+              bgstats AS (
+                SELECT doc_id, max(cnt) AS max_bigram, sum(cnt) AS n_bigrams
+                FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg
+                      WHERE bigram IS NOT NULL GROUP BY doc_id, bigram)
+                GROUP BY doc_id),
+              base AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+                FROM documents)
+              SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_frac,
+                (dup_token_ratio > 0.9 OR top_bigram_frac > 0.18) AS repetitive
+              FROM (
+                SELECT base.doc_id AS doc_id, n_tokens,
+                  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+                  round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+                FROM base JOIN bgstats ON base.doc_id = bgstats.doc_id)
+              ORDER BY doc_id""")),
+
+    // Sequence packing — the pretraining layout step: concatenate the
+    // token stream (docs can split across sequence boundaries, the
+    // standard streaming-concat packing) and report, per doc, which
+    // fixed-length training sequences it lands in. Packing is per SHARD
+    // (doc_id mod 16): the running sum windows over a bounded partition,
+    // never a single global ordering — the shape that scales, since shards
+    // pack independently on separate executors at any corpus size. Pure
+    // integer arithmetic end to end (cumsum + integer division), so the
+    // oracle matches bit-for-bit.
+    Spec("pack_sequences",
+      (s, d) => {
+        val seqLen = 256L
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("tok_end", sum("n_tokens").over(w))
+          .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+            expr(s"tok_start div $seqLen").as("seq_first"),
+            expr(s"(tok_end - 1) div $seqLen").as("seq_last"),
+            (expr(s"(tok_end - 1) div $seqLen") - expr(s"tok_start div $seqLen") + lit(1L))
+              .as("n_seqs"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard, n_tokens, tok_start,
+                tok_start // 256 AS seq_first,
+                (tok_end - 1) // 256 AS seq_last,
+                (tok_end - 1) // 256 - tok_start // 256 + 1 AS n_seqs
+              FROM (
+                SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS tok_end
+                FROM (
+                  SELECT doc_id, doc_id % 16 AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents))
+              ORDER BY doc_id""")),
+
+    // Stratified deterministic sampling — a fixed-size sample PER STRATUM
+    // (language), selected by content hash instead of rand(): rank within
+    // each lang by md5(text) and keep the first 5. The same docs return on
+    // every engine, run, and partitioning (md5 agrees bit-for-bit), which
+    // is what makes a sampled eval set reproducible — and this query
+    // oracle-checkable. Spark's WindowGroupLimit pushes the rank<=5 cutoff
+    // below the shuffle, so each partition forwards at most 5 rows per
+    // stratum — O(strata × k) intermediate, any corpus size.
+    Spec("sample_stratified",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(text), doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 }
