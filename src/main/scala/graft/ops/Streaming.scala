@@ -404,6 +404,28 @@ object Streaming {
                 ON p.user_id = c.user_id
                AND p.event_type = 'purchase' AND c.event_type = 'click'
                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-              ORDER BY p_id, c_id"""))
+              ORDER BY p_id, c_id""")),
+
+    // Stream-static enrichment join: each micro-batch of the event stream
+    // joins the STATIC customer dimension — the zero-state enrichment
+    // shape for slowly-changing dims. Unlike the stream-stream join above,
+    // NOTHING is buffered in the state store: the static side is re-planned
+    // per micro-batch (so a dim refresh is picked up on the next batch) and
+    // broadcast, the stream side passes through stateless in append mode.
+    // At scale this is the same broadcast-hash plan as the batch twin,
+    // paid once per micro-batch regardless of accumulated stream history.
+    Spec("stream_static_join",
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append",
+        cacheKey = s"single|$d", drainKey = s"sstatic|$d") { src =>
+        val dim = broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        src.join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      }.orderBy("event_id"),
+      Some("""SELECT event_id, user_id, c_mktsegment AS segment,
+                c_acctbal AS acctbal
+              FROM events JOIN customer ON user_id = c_custkey
+              ORDER BY event_id"""))
   )
 }
