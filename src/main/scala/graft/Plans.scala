@@ -22,7 +22,10 @@ object Plans {
     "join_bucketed_colocated",
     "join_q4_priority", "join_q14_promo", "mm_decode_real",
     "dedup_minhash_full", "dedup_allpairs_exact", "dedup_canonical",
-    "dedup_cc_labelprop")
+    "dedup_cc_labelprop",
+    "join_q5_local_supplier", "agg_q6_forecast", "join_q8_market_share",
+    "join_q9_profit", "text_repetition", "pack_sequences",
+    "sample_stratified", "text_pii_scrub", "sample_hash")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
