@@ -129,4 +129,50 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(a == b, s"$name differs across runs")
     }
   }
+
+  test("pack_sequences: per-shard packing is gapless, contiguous, and complete") {
+    val p = q("pack_sequences").cache()
+    // every document is packed exactly once
+    assert(p.count() == Tables.t(spark, sf, "documents").count())
+    // each shard's stream starts at offset 0 (no leading gap)
+    assert(p.groupBy("shard").agg(min("tok_start").as("lo"))
+      .where(col("lo") =!= 0L).count() == 0)
+    // contiguity: the shard's token total equals its last doc's end offset
+    val ends = p.groupBy("shard").agg(
+      sum("n_tokens").as("total"), max(col("tok_start") + col("n_tokens")).as("hi"))
+    assert(ends.where(col("total") =!= col("hi")).count() == 0)
+    // sequence span arithmetic holds row by row
+    assert(p.where(col("n_seqs") < 1 ||
+      col("n_seqs") =!= col("seq_last") - col("seq_first") + 1).count() == 0)
+    p.unpersist()
+  }
+
+  test("text_repetition: ratios bounded, distinct tokens imply zero dup ratio") {
+    val r = q("text_repetition").cache()
+    assert(r.where(col("dup_token_ratio") < 0 || col("dup_token_ratio") > 1 ||
+      col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() == 0)
+    // a doc whose tokens are all distinct must report dup_token_ratio = 0
+    assert(r.where(col("dup_token_ratio") === 0.0)
+      .join(Tables.t(spark, sf, "documents"), "doc_id")
+      .where(size(array_distinct(split(col("text"), " "))) =!= col("n_tokens"))
+      .count() == 0)
+    r.unpersist()
+  }
+
+  test("sample_stratified: at most 5 per stratum, dense ranks, sample ⊆ corpus") {
+    val smp = q("sample_stratified").cache()
+    val g = smp.groupBy("lang").agg(count(lit(1)).as("n"),
+      min("rk").as("lo"), max("rk").as("hi"))
+    assert(g.where(col("n") > 5 || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    assert(smp.join(Tables.t(spark, sf, "documents"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+    smp.unpersist()
+  }
+
+  test("stream_static_join: enrichment preserves stream cardinality and keys") {
+    val e = q("stream_static_join")
+    val events = Tables.events(spark, sf)
+    assert(e.count() == events.count()) // every user_id has a customer row
+    assert(e.groupBy("event_id").count().where(col("count") > 1).count() == 0)
+  }
 }
