@@ -469,6 +469,66 @@ object LlmOps2 {
                   FROM documents))
               ORDER BY doc_id""")),
 
+    // Benchmark decontamination — the train/eval hygiene step: flag corpus
+    // documents whose 3-gram streams overlap a held-out benchmark set
+    // (docs 0-19 stand in for the benchmark). The benchmark's DISTINCT
+    // 3-grams broadcast (bounded by the benchmark's size — fixed by
+    // definition, like a probe set — never by the corpus); each corpus
+    // doc's overlap is counted through that broadcast equi-join and one
+    // doc-grain aggregate. Scan ∥ broadcast ∥ count: corpus-linear, and
+    // the 3-gram explode is bounded by document length.
+    Spec("text_decontaminate",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val tri = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("t2", lead(col("token"), 1).over(w))
+          .withColumn("t3", lead(col("token"), 2).over(w))
+          .where(col("t3").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("token"), col("t2"), col("t3")).as("tri"))
+        val bench = tri.where(col("doc_id") < 20)
+          .select("tri").distinct().withColumn("hit", lit(1))
+        tri.where(col("doc_id") >= 20)
+          .join(broadcast(bench), Seq("tri"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+          .select(col("doc_id"), col("n_trigrams"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / col("n_trigrams"), 6)
+              .as("overlap_frac"))
+          .withColumn("contaminated", col("overlap_frac") > 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS token,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents),
+              tri AS (
+                SELECT doc_id,
+                  token || ' ' || lead(token, 1) OVER w
+                        || ' ' || lead(token, 2) OVER w AS tri
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              bench AS (
+                SELECT DISTINCT tri FROM tri
+                WHERE doc_id < 20 AND tri IS NOT NULL),
+              corpus AS (
+                SELECT doc_id, tri FROM tri
+                WHERE doc_id >= 20 AND tri IS NOT NULL)
+              SELECT doc_id, n_trigrams, n_overlap,
+                round(CAST(n_overlap AS DOUBLE) / n_trigrams, 6) AS overlap_frac,
+                round(CAST(n_overlap AS DOUBLE) / n_trigrams, 6) > 0.5 AS contaminated
+              FROM (
+                SELECT c.doc_id,
+                  count(*) AS n_trigrams,
+                  CAST(sum(CASE WHEN b.tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_overlap
+                FROM corpus c LEFT JOIN bench b ON c.tri = b.tri
+                GROUP BY c.doc_id)
+              ORDER BY doc_id""")),
+
     // Stratified deterministic sampling — a fixed-size sample PER STRATUM
     // (language), selected by content hash instead of rand(): rank within
     // each lang by md5(text) and keep the first 5. The same docs return on
