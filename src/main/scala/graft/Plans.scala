@@ -26,7 +26,7 @@ object Plans {
     "join_q5_local_supplier", "agg_q6_forecast", "join_q8_market_share",
     "join_q9_profit", "text_repetition", "pack_sequences",
     "sample_stratified", "text_pii_scrub", "sample_hash",
-    "text_decontaminate", "stream_static_join")
+    "text_decontaminate", "stream_static_join", "evt_wau_rolling")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

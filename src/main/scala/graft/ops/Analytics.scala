@@ -95,6 +95,45 @@ object Analytics {
               FROM ew JOIN c ON ew.user_id = c.user_id
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Rolling weekly-active users (WAU): for each observed day, the
+    // distinct users with a purchase in the trailing 7 days. A
+    // distinct-over-range window cannot be expressed as a window function
+    // (count(DISTINCT) is not frame-able), and a day⋈day range join is
+    // quadratic in days — the scale shape is the COVERING-WINDOW EXPLODE:
+    // reduce to the distinct (user, day) grain first (the dominant,
+    // corpus-shrinking aggregate), replicate each pair to the ≤7 window
+    // days it covers, equi-join the bounded observed-day list (broadcast —
+    // calendar-sized by definition), and finish with one two-phase
+    // distinct aggregate keyed on day. Work is |active pairs| × 7, linear
+    // at any corpus size. Days are epoch-day longs for cross-engine parity.
+    Spec("evt_wau_rolling",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .distinct()
+        val days = ud.select("day").distinct().withColumnRenamed("day", "wday")
+        ud.select(col("user_id"),
+            explode(sequence(col("day"), col("day") + lit(6L))).as("wday"))
+          .join(broadcast(days), "wday")
+          .groupBy("wday")
+          .agg(countDistinct("user_id").as("wau"))
+          .select(col("wday").as("day"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events WHERE event_type = 'purchase'),
+              days AS (SELECT DISTINCT day FROM ud),
+              cover AS (
+                SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+                FROM ud)
+              SELECT c.wday AS day, count(DISTINCT c.user_id) AS wau
+              FROM cover c JOIN days dd ON c.wday = dd.day
+              GROUP BY 1 ORDER BY 1""")),
+
     // Fixed-width value histogram: floor-binning keeps both engines on the
     // same bucket; min/max are exact on identical doubles, the sum is
     // decimal-exact. One hash aggregate — the 100 TB shape.
