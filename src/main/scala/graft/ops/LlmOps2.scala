@@ -453,16 +453,20 @@ object LlmOps2 {
               .as("n_seqs"))
           .orderBy("doc_id")
       },
+      // DuckDB widens integer SUM (incl. windowed) to HUGEINT; both window
+      // sums are CAST back to BIGINT so tok_start/tok_end and the derived
+      // seq_* columns keep the Spark LongType dtype (CORRECTNESS_r05's one
+      // hash mismatch was exactly this widening, values identical).
       Some("""SELECT doc_id, shard, n_tokens, tok_start,
                 tok_start // 256 AS seq_first,
                 (tok_end - 1) // 256 AS seq_last,
                 (tok_end - 1) // 256 - tok_start // 256 + 1 AS n_seqs
               FROM (
                 SELECT doc_id, shard, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start,
-                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS tok_end
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_start,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
                 FROM (
                   SELECT doc_id, doc_id % 16 AS shard,
                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -551,6 +555,132 @@ object LlmOps2 {
                   row_number() OVER (PARTITION BY lang
                     ORDER BY md5(text), doc_id) AS rk
                 FROM documents)
-              WHERE rk <= 5 ORDER BY lang, rk"""))
+              WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    // against the corpus top-1000 token vocabulary — the coverage audit run
+    // before committing to a tokenizer. The vocab is a distributed top-k
+    // (TakeOrderedAndProject — no global sort) with a (count DESC, token)
+    // total order so the rank-1000 boundary is deterministic; it then
+    // BROADCASTS (vocabulary-sized by definition, never corpus-sized), and
+    // the per-doc rate is one token-stream left join + one doc-grain
+    // aggregate — corpus-linear. DuckDB's integer sum widens to HUGEINT,
+    // hence the explicit BIGINT cast (the pack_sequences lesson).
+    Spec("text_oov_rate",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val vocab = tk.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token")).limit(1000)
+          .select(col("token")).withColumn("iv", lit(1))
+        tk.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              v AS (
+                SELECT token FROM (
+                  SELECT token, count(*) AS n FROM tk
+                  GROUP BY token ORDER BY n DESC, token LIMIT 1000)),
+              j AS (
+                SELECT tk.doc_id,
+                  CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tk LEFT JOIN v ON tk.token = v.token)
+              SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+              FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Temperature-based mixture reweighting (the multilingual-pretraining
+    // sampling scheme): per-language sampling weight ∝ n^0.7, which
+    // up-weights low-resource strata relative to natural frequency. One
+    // tiny language-grain aggregate + a 1-row broadcast normalizer —
+    // corpus cost is the single count aggregate. Determinism: the
+    // normalizer Σ n^0.7 is a SORTED fold (array_sort + aggregate ≡
+    // DuckDB list_sort + list_reduce, identical addition order — a float
+    // sum over groups would be merge-order dependent), pow() outputs are
+    // rounded per the libm convention (Fns.scala), and natural_frac is a
+    // single division on identical integers (bit-identical, unrounded).
+    Spec("sample_temperature",
+      (s, d) => {
+        val g = t(s, d, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        val z = g.agg(sum(col("n_docs")).as("n_total"),
+          aggregate(array_sort(collect_list(
+            pow(col("n_docs").cast("double"), lit(0.7)))), lit(0.0d),
+            (a, x) => a + x).as("zpow"))
+        g.crossJoin(broadcast(z))
+          .select(col("lang"), col("n_docs"),
+            (col("n_docs").cast("double") / col("n_total").cast("double"))
+              .as("natural_frac"),
+            round(pow(col("n_docs").cast("double"), lit(0.7)) / col("zpow"), 6)
+              .as("temp_weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+              z AS (
+                SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                  list_reduce(list_sort(list(pow(CAST(n_docs AS DOUBLE), 0.7))),
+                    (a, b) -> a + b) AS zpow
+                FROM g)
+              SELECT lang, n_docs,
+                CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS natural_frac,
+                round(pow(CAST(n_docs AS DOUBLE), 0.7) / zpow, 6) AS temp_weight
+              FROM g CROSS JOIN z ORDER BY lang""")),
+
+    // Winnowing document fingerprints (the MOSS scheme): hash every token
+    // 3-gram, slide a 4-hash window over the stream, keep each window's
+    // minimum — guaranteed to share a fingerprint with any document that
+    // shares a ≥6-token run, at ~1/4 the storage of full shingling. The
+    // hash is md5 of the 3-gram STRING and the winnow min is LEXICOGRAPHIC
+    // (md5 agrees bit-for-bit across engines; no engine-specific hash
+    // function anywhere). Per-doc windows → embarrassingly parallel after
+    // the one doc_id shuffle; output is one row per doc.
+    Spec("text_winnowing",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val fw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        val tri = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("t2", lead(col("token"), 1).over(w))
+          .withColumn("t3", lead(col("token"), 2).over(w))
+          .where(col("t3").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ", col("token"), col("t2"), col("t3"))).as("h"))
+        tri
+          .withColumn("fp", min(col("h")).over(fw))
+          .withColumn("cnt", count(lit(1)).over(fw))
+          .where(col("cnt") === 4)
+          .groupBy("doc_id")
+          .agg(countDistinct(col("fp")).as("n_fp"),
+            min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS token,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents),
+              tri AS (
+                SELECT doc_id, pos,
+                  md5(token || ' ' || lead(token, 1) OVER w
+                            || ' ' || lead(token, 2) OVER w) AS h
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              tri2 AS (SELECT doc_id, pos, h FROM tri WHERE h IS NOT NULL),
+              win AS (
+                SELECT doc_id, min(h) OVER fw AS fp, count(*) OVER fw AS cnt
+                FROM tri2 WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+              SELECT doc_id, count(DISTINCT fp) AS n_fp,
+                min(fp) AS fp_min, max(fp) AS fp_max
+              FROM win WHERE cnt = 4 GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -29,7 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
     *  - join_theta_range: pure non-equi predicate — no equi key exists,
     *    BNLJ over a broadcast bounded side IS the plan (the binned/auto
     *    range joins are the scale path)
-    *  - join_q15_toprevenue / join_q22_idle_rich / text_tfidf_topk:
+    *  - join_q15_toprevenue / join_q22_idle_rich / text_tfidf_topk /
+    *    evt_rfm / sample_temperature:
     *    1-row global-scalar subquery broadcast back onto the relation —
     *    the standard decorrelation
     *  - sim_* / dedup_embed_cosine / sim_knn_classify: fixed probe set
@@ -39,6 +40,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljAllow = Set(
     "join_cross", "join_theta_range",
     "join_q15_toprevenue", "join_q22_idle_rich", "text_tfidf_topk",
+    "evt_rfm", "sample_temperature",
     "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
     "sim_knn_classify", "dedup_embed_cosine")
 
@@ -64,6 +66,14 @@ class PlanGuardSpec extends AnyFunSuite {
     val opt = q("join_bloom_runtime").queryExecution.optimizedPlan.toString
     assert(opt.contains("might_contain") || opt.contains("BloomFilterMightContain"),
       "join_bloom_runtime lost its injected bloom filter")
+  }
+
+  test("bench guard: the SLOW allowlist names only declared queries") {
+    // keeps Bench.slowAllow honest: a renamed/removed query can't linger
+    // in the allowlist, and the documented budget set stays auditable here
+    val declared = SparkEntry.queries.keySet
+    val stale = Bench.slowAllow -- declared
+    assert(stale.isEmpty, s"SLOW allowlist entries not declared: $stale")
   }
 
   test("plan guard: join_bucketed_colocated joins without re-shuffling either side") {

@@ -27,6 +27,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("Int64")
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("boolean")
+        elif pd.api.types.is_float_dtype(s):
+            # width (f32 vs f64) is normalized; CLASS drift (int vs float)
+            # is deliberately NOT — the dtype gate below must catch it
+            df[c] = s.astype("float64")
         elif s.dtype == object and s.dropna().size and isinstance(s.dropna().iloc[0], (list, np.ndarray)):
             df[c] = s.map(lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v) if v is not None else None)
     return df
@@ -65,10 +69,20 @@ def main():
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
             n_fail += 1
             continue
+        # Dtype-strict gate (mirrors the driver's type-sensitive hash): a
+        # DuckDB HUGEINT/float widening vs Spark BIGINT is a FAIL even when
+        # every value matches — this is the class that shipped the r5
+        # pack_sequences false green under the old float-coercing compare.
+        mism = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+        if mism:
+            print(f"FAIL {name}: dtype mismatch " + ", ".join(
+                f"{c} spark={a[c].dtype} duck={b[c].dtype}" for c in mism))
+            n_fail += 1
+            continue
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]
-            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            if pd.api.types.is_float_dtype(av):
                 av = av.astype(float); bv = bv.astype(float)
                 eq = (av.values == bv.values) | (np.isnan(av.values) & np.isnan(bv.values))
                 if not eq.all():
