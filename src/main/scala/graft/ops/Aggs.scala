@@ -218,6 +218,91 @@ object Aggs {
                 true AS within_5pct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Correlation / covariance — the bivariate-statistics family, computed
+    // the DETERMINISTIC distributed way: the five co-moment sums are exact
+    // decimal aggregates (order-free, like msum), each cast once to double,
+    // and the textbook formulas finish with a fixed dag of IEEE ops on
+    // bit-identical inputs — so the output is bit-identical across engines,
+    // partitionings, and runs, with NO rounding insurance needed. (The
+    // built-in corr/covar_pop use streaming co-moment merges whose float
+    // result depends on partial-aggregate merge order — fine numerically,
+    // unusable for a hash oracle; same 1-shuffle cost either way.)
+    // Products stay exact: x,y have ≤2 decimal digits, so x*y/x²/y² have ≤4
+    // and the DECIMAL(30,4) cast recovers them exactly on both engines.
+    Spec("agg_corr_covar",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(30,2)")).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast("decimal(30,4)"))
+            .cast("double").as("sxx"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(30,4)"))
+            .cast("double").as("sxy"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,4)"))
+            .cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+            .as("covar_samp"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""WITH s AS (
+                SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                (sxy - sx * sy / n) / n AS covar_pop,
+                (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+                (n * sxy - sx * sy) /
+                  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+              FROM s ORDER BY l_returnflag""")),
+
+    // MERGEABLE sketches — the property that makes approximate distinct
+    // counting work at 100 TB: per-(type, day) HLL partials built where the
+    // data lives, then a register-wise union up the tree, with NO re-scan.
+    // `merge_consistent` asserts the union of daily partials lands on the
+    // SAME register state as one direct sketch (set-union semantics make
+    // the merged estimate equal the direct estimate exactly — both sides
+    // computed in Spark, DuckDB states the invariant literally), and
+    // `within_5pct` bounds the lgK=14 estimate (~0.8% σ) against the exact
+    // count, as in agg_approx_distinct.
+    Spec("agg_hll_union",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val daily = e
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .cast("long").as("merged_est"))
+        val direct = e.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+            .cast("long").as("direct_est"),
+            countDistinct(col("user_id")).as("exact_users"))
+        daily.join(direct, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (col("merged_est") === col("direct_est")).as("merge_consistent"),
+            (abs(col("merged_est") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("within_5pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                count(DISTINCT user_id) AS exact_users,
+                true AS merge_consistent,
+                true AS within_5pct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Exact interpolated percentiles: both engines sort within the group
     // and linearly interpolate at p·(n-1) — same definition
     // (Spark `percentile` ≡ DuckDB `quantile_cont`), rounded as insurance.

@@ -134,6 +134,82 @@ object Analytics {
               FROM cover c JOIN days dd ON c.wday = dd.day
               GROUP BY 1 ORDER BY 1""")),
 
+    // RFM segmentation (recency / frequency / monetary) — the classic
+    // customer-value analysis, shaped for scale: one user-keyed hash
+    // aggregate over purchases (partial map-side), a 1-ROW broadcast scalar
+    // for "today" (the corpus max day — the standard decorrelation, same as
+    // join_q15), and a quartile assignment. Recency is exact epoch-day
+    // integer arithmetic; monetary is an exact decimal sum (msum); the
+    // ntile ties are broken by (monetary DESC, user_id) — a total order, so
+    // segments are deterministic. The global ntile sorts one row PER USER
+    // (not per event — the aggregate already collapsed); at 100 TB the
+    // segment boundary comes from approx quantiles instead of a global sort
+    // (win_rank_scalable documents that two-pass path).
+    Spec("evt_rfm",
+      (s, d) => {
+        val p = t(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"), col("value"))
+        val u = p.groupBy("user_id")
+          .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+            msum(col("value")).as("monetary"))
+        val today = p.agg(max("day").as("max_day"))
+        u.crossJoin(broadcast(today))
+          .select(col("user_id"), (col("max_day") - col("last_day")).as("recency_days"),
+            col("frequency"), col("monetary"))
+          .withColumn("segment", ntile(4).over(
+            Window.orderBy(desc("monetary"), asc("user_id"))).cast("long"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH p AS (
+                 SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                   "value"
+                 FROM events WHERE event_type = 'purchase'),
+               u AS (
+                 SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+                   ${msumSql("value")} AS monetary
+                 FROM p GROUP BY user_id),
+               m AS (SELECT max(day) AS max_day FROM p)
+               SELECT user_id, m.max_day - last_day AS recency_days, frequency,
+                 monetary,
+                 CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+                   AS segment
+               FROM u CROSS JOIN m ORDER BY user_id""")),
+
+    // Last-touch attribution: each purchase is attributed to the user's
+    // most recent PRECEDING non-purchase event (type + microsecond lag).
+    // One window over the per-user event stream — `last(..., ignoreNulls)`
+    // over ROWS UNBOUNDED PRECEDING..1 PRECEDING is a running carry, O(n)
+    // per partition, one user_id shuffle total; (ts, event_id) ordering is
+    // a total order so the carried event is deterministic. The lag is exact
+    // integer microseconds. First-touch is the same query with first().
+    Spec("evt_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val nonP = when(col("event_type") =!= "purchase", col("event_type"))
+        val nonTs = when(col("event_type") =!= "purchase", unix_micros(col("ts")))
+        t(s, d, "events")
+          .withColumn("attr_type", last(nonP, ignoreNulls = true).over(w))
+          .withColumn("lag_us",
+            unix_micros(col("ts")) - last(nonTs, ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "attr_type", "lag_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, attr_type, lag_us FROM (
+                SELECT event_id, user_id, event_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS) OVER w AS attr_type,
+                  epoch_us(ts) - last_value(CASE WHEN event_type <> 'purchase'
+                    THEN epoch_us(ts) END IGNORE NULLS) OVER w AS lag_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              WHERE event_type = 'purchase' ORDER BY event_id""")),
+
     // Fixed-width value histogram: floor-binning keeps both engines on the
     // same bucket; min/max are exact on identical doubles, the sum is
     // decimal-exact. One hash aggregate — the 100 TB shape.
@@ -200,6 +276,63 @@ object Analytics {
                 CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
               WHERE i * 96 < length(text)
               ORDER BY doc_id, chunk_id""")),
+
+    // Sub-document (paragraph-grain) exact dedup — the CCNet-style line
+    // dedup step: documents chunk into overlapping 128-char windows (the
+    // same chunkDocs relation text_chunk declares), then exact dedup runs
+    // at CHUNK grain — sha2 hash groupBy, two-phase hash aggregate, one
+    // shuffle at chunk cardinality. At 100 TB this is how boilerplate
+    // (headers, footers, license blocks) is stripped when whole-document
+    // dedup can't see it; output is one row per distinct chunk content
+    // with its multiplicity and canonical location.
+    Spec("dedup_chunk_exact",
+      (s, d) => chunkDocs(t(s, d, "documents"))
+        .groupBy(sha2(col("chunk"), 256).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("chunk_hash"),
+      Some("""WITH ch AS (
+                SELECT doc_id, substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk
+                FROM documents
+                  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
+                WHERE i * 96 < length(text))
+              SELECT sha256(chunk) AS chunk_hash, count(*) AS n_copies,
+                count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+              FROM ch GROUP BY sha256(chunk) ORDER BY chunk_hash""")),
+
+    // Event-type transition matrix (first-order Markov estimate): adjacent
+    // event pairs per user stream via lead() — one user_id shuffle, O(n)
+    // per partition — then a (from, to) hash aggregate. The row-conditional
+    // probability divides by the per-from total through a window sum of
+    // exact integers; the division is the only float op (identical
+    // operands → bit-identical, unrounded).
+    Spec("evt_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy("from_type")
+        pairs
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(wf).cast("double"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH pairs AS (
+                SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+                FROM events),
+              cnt AS (
+                SELECT from_type, to_type, count(*) AS n FROM pairs
+                WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+              SELECT from_type, to_type, n,
+                CAST(n AS DOUBLE) /
+                  CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+              FROM cnt ORDER BY from_type, to_type""")),
 
     // Statistical mode per group, deterministic: count + window top-1 with
     // an explicit value tie-break (engine-native mode() functions break

@@ -41,6 +41,31 @@ object TextBytesCodec extends MediaCodec {
   }
 }
 
+/** REAL audio decoder behind the same seam: 16-bit little-endian PCM —
+  * the raw sample format inside WAV — decoded to floats in [-1, 1).
+  * s/32768 = s·2⁻¹⁵ is EXACT in binary floating point, so downstream
+  * integer reconstruction (`round(px * 32768f)`) is lossless — the same
+  * exactness argument ImageIoCodec's k/255 channels rely on.
+  */
+object PcmCodec extends MediaCodec {
+  override val name: String = "pcm-s16le"
+  override def open(): MediaDecoder = new MediaDecoder {
+    override def decode(payload: Array[Byte], width: Int, height: Int,
+                        channels: Int): Array[Float] = {
+      val n = payload.length / 2
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val lo = payload(2 * i) & 0xff
+        val hi = payload(2 * i + 1).toInt // sign-extending byte→int
+        out(i) = ((hi << 8) | lo).toFloat / 32768.0f
+        i += 1
+      }
+      out
+    }
+  }
+}
+
 /** REAL image decoder behind the same seam: `javax.imageio` ships with
   * the JDK (no external libraries), so PNG/JPEG/BMP/GIF payloads decode
   * to row-major normalized RGB floats with zero new dependencies. The

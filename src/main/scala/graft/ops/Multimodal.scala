@@ -256,6 +256,59 @@ object Multimodal {
                 CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
                 CAST(sum((doc_id * 11 + x * 17 + y * 5) % 256) AS BIGINT) AS sum_g,
                 CAST(sum((doc_id * 3 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
-              FROM cells GROUP BY doc_id, w, h ORDER BY doc_id"""))
+              FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // AUDIO through the same codec seam: deterministic 16-bit PCM clips —
+    // sample i of doc d is (31d+17i) mod 4096 − 2048, little-endian-packed
+    // in the executors — decode through [[PcmCodec]] (the per-partition
+    // session mechanism, unchanged), then the standard audio featurization:
+    // frame into 256-sample windows and emit per-frame energy Σ|s|. Energy
+    // is reconstructed from the DECODED floats (s/32768 is exact, so
+    // round(px·32768) restores the sample losslessly) — an endianness or
+    // sign-extension defect in the decode breaks the oracle, which restates
+    // the sample formula independently. Embarrassingly parallel flatMap,
+    // zero shuffle before the presentation sort — with real WAV payloads
+    // from parquet the plan is identical.
+    Spec("mm_audio_energy",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val dec = PcmCodec.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+            it.flatMap { id =>
+              val n = 1024
+              val bytes = new Array[Byte](n * 2)
+              var i = 0
+              while (i < n) {
+                val v = ((id * 31 + i * 17) % 4096 - 2048).toInt
+                bytes(2 * i) = (v & 0xff).toByte
+                bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+                i += 1
+              }
+              val px = dec.decode(bytes, 0, 0, 1)
+              (0 until n / 256).map { f =>
+                var e = 0L
+                var j = f * 256
+                while (j < (f + 1) * 256) {
+                  e += math.abs(math.round(px(j) * 32768f))
+                  j += 1
+                }
+                (id, f.toLong, e)
+              }
+            }
+          }
+          .toDF("doc_id", "frame_id", "energy")
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""WITH cells AS (
+                SELECT doc_id, gs.i AS i,
+                  (doc_id * 31 + gs.i * 17) % 4096 - 2048 AS s
+                FROM documents, generate_series(0, 1023) gs(i))
+              SELECT doc_id, i // 256 AS frame_id,
+                CAST(sum(abs(s)) AS BIGINT) AS energy
+              FROM cells GROUP BY doc_id, i // 256
+              ORDER BY doc_id, frame_id"""))
   )
 }
