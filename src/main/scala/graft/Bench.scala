@@ -19,7 +19,11 @@ object Bench {
     */
   val slowAllow: Set[String] = Set(
     "dedup_cc_labelprop", "dedup_minhash_full", "dedup_allpairs_exact",
-    "sim_lsh_approx", "mm_decode_real")
+    "sim_lsh_approx", "mm_decode_real",
+    // MLlib MinHashLSH fit + per-side transform fixed pipeline cost
+    "dedup_minhash_lsh",
+    // WITH RECURSIVE iterative-execution fixed cost (one job per step)
+    "sql_recursive_cte")
 
   /** Host-load sentinel: (load average, cumulative GC ms, spin ms).
     * The spin is a fixed single-threaded 200M-add loop (~0.1 s unloaded,
@@ -34,12 +38,15 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    val spins = (1 to 3).map { _ =>
+    // 4 runs, first discarded: the first spin in a fresh JVM pays JIT/OSR
+    // compilation (~2× observed), which would read as phantom "load" in
+    // the start sentinel; the median of the last 3 is steady-state.
+    val spins = (1 to 4).map { _ =>
       val t0 = System.nanoTime(); var i = 0L; var acc = 0L
       while (i < 200000000L) { acc += i; i += 1 }
       if (acc == 42L) System.err.print("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e6
-    }.sorted
+    }.drop(1).sorted
     (os.getSystemLoadAverage, gcMs, spins(1))
   }
 

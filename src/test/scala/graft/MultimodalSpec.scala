@@ -122,6 +122,26 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = ops.Multimodal.extractFeatures(spark, sf, codec = HalfCodec)
     assert(feats.where(col("mean_px") =!= 0.5 || col("max_px") =!= 0.5).count() == 0)
   }
+
+  test("REAL audio decode: 16-bit LE PCM roundtrips every sample exactly") {
+    // every representable sample value, including the sign-extension and
+    // endianness edges (-32768, -1, 0, 1, 32767)
+    val samples = Array(-32768, -32767, -256, -255, -1, 0, 1, 255, 256, 32766, 32767)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val dec = ops.PcmCodec.open()
+    val px = dec.decode(bytes, 0, 0, 1)
+    assert(px.length == samples.length)
+    samples.zip(px).foreach { case (v, f) =>
+      // s/32768 is exact in float, so the roundtrip must be bit-exact
+      assert(math.round(f * 32768f) == v, s"sample $v decoded to $f")
+      assert(f >= -1.0f && f < 1.0f)
+    }
+    dec.close()
+  }
 }
 
 /** Test codec counting session lifecycle events (local mode: one JVM, so
