@@ -303,6 +303,33 @@ object Aggs {
                 true AS within_5pct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // argmin/argmax aggregates (min_by/max_by) — "who had the largest
+    // purchase", the lookup that otherwise costs a self-join back to the
+    // grouped relation. Determinism: engine tie-breaks on equal ordering
+    // values are unspecified, so the ordering key is made UNIQUE — exact
+    // cents (round(value·100), a 2-decimal fixture column, is an exact
+    // integer on both engines) scaled and combined with the unique
+    // event_id. One hash aggregate, map-side partial, same shuffle as any
+    // groupBy.
+    Spec("agg_min_max_by",
+      (s, d) => {
+        val key = round(col("value") * 100).cast("long") *
+          lit(10000000000L) + col("event_id")
+        t(s, d, "events").groupBy("event_type")
+          .agg(max_by(col("user_id"), key).as("top_user"),
+            min_by(col("user_id"), key).as("bottom_user"),
+            max(col("value")).as("max_value"),
+            min(col("value")).as("min_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                max_by(user_id, CAST(round("value" * 100) AS BIGINT)
+                  * 10000000000 + event_id) AS top_user,
+                min_by(user_id, CAST(round("value" * 100) AS BIGINT)
+                  * 10000000000 + event_id) AS bottom_user,
+                max("value") AS max_value, min("value") AS min_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Exact interpolated percentiles: both engines sort within the group
     // and linearly interpolate at p·(n-1) — same definition
     // (Spark `percentile` ≡ DuckDB `quantile_cont`), rounded as insurance.

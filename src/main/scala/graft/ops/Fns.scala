@@ -298,6 +298,21 @@ object Fns {
                     FROM documents)
               ORDER BY doc_id, pos""")),
 
+    // stack() — the wide→long generator (n fixed attribute rows per input
+    // row), the remaining UDTF form next to explode/posexplode. Pure
+    // per-row expansion, no shuffle before the presentation sort; the
+    // oracle states the same relation as the UNION ALL it desugars to.
+    Spec("fn_stack",
+      (s, d) => t(s, d, "customer")
+        .selectExpr("c_custkey",
+          "stack(2, 'name', c_name, 'segment', c_mktsegment) AS (attr, val)")
+        .orderBy("c_custkey", "attr"),
+      Some("""SELECT c_custkey, 'name' AS attr, c_name AS val FROM customer
+              UNION ALL
+              SELECT c_custkey, 'segment' AS attr, c_mktsegment AS val
+              FROM customer
+              ORDER BY c_custkey, attr""")),
+
     // Scala UDF surface: a registered deterministic UDF (the 31-ary rolling
     // hash — pure integer arithmetic, same result as the SQL fold). UDFs
     // are the escape hatch of last resort (no codegen, JVM call per row);

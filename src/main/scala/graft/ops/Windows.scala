@@ -110,6 +110,38 @@ object Windows {
                   RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
               FROM customer ORDER BY c_mktsegment, c_custkey""")),
 
+    // TIME-based range frame: per-user trailing-1-hour event count + spend
+    // — the ops-dashboard staple ("activity in the last hour, per event").
+    // Ordering is exact integer microseconds so the range bound is integer
+    // arithmetic on both engines; spend sums exact integer cents
+    // (round(value·100) — 2-decimal fixture values). RANGE frames include
+    // ALL peers of the boundary timestamps, so equal-ts rows contribute
+    // identically regardless of their shuffle order — deterministic
+    // without a unique tiebreak. One user_id shuffle, O(n) running frame
+    // per partition. (DuckDB's windowed integer sum widens to HUGEINT,
+    // hence the BIGINT cast.)
+    Spec("win_range_interval",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("tus"))
+          .rangeBetween(-3600000000L, 0)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("cents_1h", sum(col("cents")).over(w))
+          .select("event_id", "user_id", "n_1h", "cents_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(round("value" * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS cents_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
     Spec("win_first_last",
       (s, d) => {
         val (o, wBase) = ordersByCustDate(s, d)
