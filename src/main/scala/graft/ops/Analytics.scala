@@ -334,6 +334,58 @@ object Analytics {
                   CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
               FROM cnt ORDER BY from_type, to_type""")),
 
+    // Volume-anomaly detection (z-score vs a trailing window) — the
+    // monitoring staple over event streams. Daily counts per event type
+    // (one hash aggregate), then a 7-row trailing window carries the exact
+    // integer sums Σn and Σn² from which mean/std/z finish as a fixed IEEE
+    // dag — the same exact-partials discipline as agg_corr_covar, so z is
+    // bit-identical with no rounding. Degenerate windows (k<2 or zero
+    // variance) yield NULL via an identical guard on both engines. Windows
+    // are per event type: |types| partitions of |days| rows — tiny at any
+    // corpus size once the day-grain aggregate has run.
+    Spec("evt_anomaly_zscore",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, 0)
+        daily
+          .withColumn("k", count(lit(1)).over(w).cast("double"))
+          .withColumn("sx", sum(col("n")).over(w).cast("double"))
+          .withColumn("sxx", sum(col("n") * col("n")).over(w).cast("double"))
+          // divisor null-guarded: ANSI mode errors on k-1 = 0 (a 1-row
+          // window), and null propagates to the same NULL z the CASE
+          // branch produces on the oracle side
+          .withColumn("vars",
+            (col("sxx") - col("sx") * col("sx") / col("k")) /
+              when(col("k") > 1, col("k") - 1))
+          .select(col("event_type"), col("day"), col("n"),
+            when(col("k") > 1 && col("vars") > 0,
+              (col("n") - col("sx") / col("k")) / sqrt(col("vars")))
+              .as("z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT event_type, day, n,
+                  CAST(count(*) OVER w AS DOUBLE) AS k,
+                  CAST(sum(n) OVER w AS DOUBLE) AS sx,
+                  CAST(sum(n * n) OVER w AS DOUBLE) AS sxx
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              SELECT event_type, day, n,
+                CASE WHEN k > 1 AND (sxx - sx * sx / k) / (k - 1) > 0
+                  THEN (n - sx / k) / sqrt((sxx - sx * sx / k) / (k - 1))
+                END AS z
+              FROM win ORDER BY event_type, day""")),
+
     // Statistical mode per group, deterministic: count + window top-1 with
     // an explicit value tie-break (engine-native mode() functions break
     // ties arbitrarily — ungradeable and irreproducible). Count is a

@@ -681,6 +681,42 @@ object LlmOps2 {
                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
               SELECT doc_id, count(DISTINCT fp) AS n_fp,
                 min(fp) AS fp_min, max(fp) AS fp_max
-              FROM win WHERE cnt = 4 GROUP BY doc_id ORDER BY doc_id"""))
+              FROM win WHERE cnt = 4 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Semantic dedup, SemDeDup-shaped: assign every embedding to its
+    // nearest centroid (the cached inference pipeline — k-means-style
+    // cluster assignment), then within each cluster rank by similarity to
+    // the center and keep the top-ranked vector as the cluster
+    // representative. This is the CLUSTER-level semantic compression pass:
+    // work is one assignment per vector + a per-cluster window — never
+    // pairwise — which is the whole point of clustering first at 100 TB
+    // (the τ-threshold variant that drops only score ≥ τ near-dups of the
+    // representative reads the same `score` column from this relation).
+    // Reuses Inference's cached centroid→score→pred stages; the oracle
+    // extends the same CTE chain.
+    Spec("dedup_semantic_cluster",
+      (s, d) => {
+        val p = Inference.preds(s, d)
+        val w = Window.partitionBy("pred").orderBy(desc("score"), asc("vec_id"))
+        val ranked = p.withColumn("rnk", row_number().over(w).cast("long"))
+        val reps = ranked.where(col("rnk") === 1)
+          .select(col("pred"), col("vec_id").as("rep_id"))
+        ranked.join(broadcast(reps), "pred")
+          .select(col("vec_id"), col("pred").as("cluster"), col("rnk"),
+            col("rep_id"), (col("vec_id") === col("rep_id")).as("keep"),
+            col("score"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${Inference.predsCtesSql},
+               ranked AS (
+                 SELECT vec_id, pred, score,
+                   CAST(row_number() OVER (PARTITION BY pred
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                 FROM preds),
+               reps AS (SELECT pred, vec_id AS rep_id FROM ranked WHERE rnk = 1)
+               SELECT r.vec_id, r.pred AS cluster, r.rnk, reps.rep_id,
+                 r.vec_id = reps.rep_id AS keep, r.score
+               FROM ranked r JOIN reps ON r.pred = reps.pred
+               ORDER BY r.vec_id"""))
   )
 }
