@@ -667,6 +667,83 @@ object LlmOps {
                SELECT s AS doc_id, min(t) AS component_id
                FROM reach GROUP BY s ORDER BY s""")),
 
+    // ------------------------------------------ similarity-graph analytics
+    // Degree distribution of the ≥0.9 near-dup graph — the corpus-health
+    // histogram a dedup run reports (how clique-y is the corpus?). Rides
+    // the memoized verified pair relation; two hash aggregates (doc grain,
+    // then degree grain) and a left join to count isolated docs as
+    // degree 0. Aggregate-of-aggregate: output is |distinct degrees| rows.
+    Spec("graph_degree_dist",
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val pairs = expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))
+        val ends = pairs.select(col("d1").as("doc_id"))
+          .unionByName(pairs.select(col("d2").as("doc_id")))
+        val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        t(s, d, "documents").select("doc_id")
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH ${pairCte("")},
+               p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.9),
+               ends AS (SELECT d1 AS doc_id FROM p
+                        UNION ALL SELECT d2 AS doc_id FROM p),
+               deg AS (SELECT doc_id, count(*) AS degree FROM ends
+                       GROUP BY doc_id)
+               SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
+               FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+               GROUP BY 1 ORDER BY degree""")),
+
+    // Triangle counting (the standard graph-motif statistic) on the
+    // CONTRACTED set graph — same contraction argument as
+    // dedup_cc_labelprop: identical-token-set docs collapse to one node,
+    // so the 3-way join runs on ~29k set edges at sf0.1 instead of ~2M doc
+    // edges (where clique density would make the triangle count itself
+    // quadratic-explosive). Edges are oriented sa<sb by construction, so
+    // each triangle a<b<c is counted exactly once by the canonical
+    // wedge-close join: (a,b)⋈(b,c)⋈(a,c). The oracle restates the token-
+    // SET grouping and the exact Jaccard pair relation at set grain.
+    Spec("graph_triangle_count",
+      (s, d) => {
+        graft.functions.SortedIntersectCountExpr.register(s)
+        val e = minhashSetPairs(s, d).select("sa", "sb")
+        val wedge = e.select(col("sa").as("a"), col("sb").as("b"))
+          .join(e.select(col("sa").as("b"), col("sb").as("c")), "b")
+        val tri = wedge.join(
+          e.select(col("sa").as("a"), col("sb").as("c")), Seq("a", "c"))
+        val nodes = tokenSetGroups(s, d).select("set_id")
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+          .select("n_nodes", "n_edges", "n_triangles")
+      },
+      Some("""WITH sets AS (
+                 SELECT min(doc_id) AS set_id,
+                   list_sort(list_distinct(string_split(text, ' '))) AS ts
+                 FROM documents
+                 GROUP BY list_sort(list_distinct(string_split(text, ' ')))),
+               stk AS (SELECT set_id, unnest(ts) AS token FROM sets),
+               ssz AS (SELECT set_id, count(*) AS nt FROM stk GROUP BY set_id),
+               sp AS (
+                 SELECT a.set_id AS sa, b.set_id AS sb, count(*) AS inter
+                 FROM stk a JOIN stk b
+                   ON a.token = b.token AND a.set_id < b.set_id
+                 GROUP BY a.set_id, b.set_id),
+               se AS (
+                 SELECT sa, sb FROM sp
+                   JOIN ssz za ON sa = za.set_id
+                   JOIN ssz zb ON sb = zb.set_id
+                 WHERE CAST(inter AS DOUBLE) / (za.nt + zb.nt - inter) >= 0.9)
+               SELECT
+                 (SELECT count(*) FROM sets) AS n_nodes,
+                 (SELECT count(*) FROM se) AS n_edges,
+                 (SELECT count(*)
+                  FROM se ab JOIN se bc ON ab.sb = bc.sa
+                             JOIN se ac ON ac.sa = ab.sa AND ac.sb = bc.sb)
+                   AS n_triangles""")),
+
     // ------------------------------------------------------ similarity
     Spec("sim_cosine_topk",
       (s, d) => {

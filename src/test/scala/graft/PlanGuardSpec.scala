@@ -30,9 +30,10 @@ class PlanGuardSpec extends AnyFunSuite {
     *    BNLJ over a broadcast bounded side IS the plan (the binned/auto
     *    range joins are the scale path)
     *  - join_q15_toprevenue / join_q22_idle_rich / text_tfidf_topk /
-    *    evt_rfm / sample_temperature:
+    *    evt_rfm / sample_temperature / graph_triangle_count:
     *    1-row global-scalar subquery broadcast back onto the relation —
-    *    the standard decorrelation
+    *    the standard decorrelation (graph_triangle_count crosses three
+    *    1-row aggregates into its single summary row)
     *  - sim_* / dedup_embed_cosine / sim_knn_classify: fixed probe set
     *    (vec_id predicate) broadcast against the corpus with a non-equi
     *    self-exclusion — scan ∥ broadcast ∥ fold, zero shuffle
@@ -40,7 +41,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljAllow = Set(
     "join_cross", "join_theta_range",
     "join_q15_toprevenue", "join_q22_idle_rich", "text_tfidf_topk",
-    "evt_rfm", "sample_temperature",
+    "evt_rfm", "sample_temperature", "graph_triangle_count",
     "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
     "sim_knn_classify", "dedup_embed_cosine")
 
