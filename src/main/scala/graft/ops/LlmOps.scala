@@ -283,17 +283,28 @@ object LlmOps {
     * the relation is tiny (O(surviving set pairs), ~29k rows at sf0.1).
     * Cache entries live for the session (MEMORY_AND_DISK, LRU-evictable)
     * — deliberate: Verify/Bench sweep all dedup queries back to back.
+    * Stopped-session entries are replaced on next access (identity check
+    * below); like every cached relation here, the memo assumes the sfDir
+    * parquet is immutable for the session (driver testdata is).
     * dedup_allpairs_exact intentionally does NOT use this: its point is
     * the exact prefix-filter path, so it must run its own candidates.
     */
   private val setPairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def minhashSetPairs(s: SparkSession, d: String): DataFrame =
-    setPairMemo.getOrElseUpdate((s, d), {
-      graft.functions.SortedIntersectCountExpr.register(s)
-      val groups = tokenSetGroups(s, d)
-      verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
-    })
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def buildSetPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectCountExpr.register(s)
+    val groups = tokenSetGroups(s, d)
+    verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
+  }
+  private[graft] def minhashSetPairs(s: SparkSession, d: String): DataFrame = {
+    // string key + session-identity validation (the Inference.cached
+    // pattern): a stopped session's entry is replaced, not served, and the
+    // map never pins stopped-session plans under live keys
+    val k = s"${s.hashCode()}|$d"
+    val df = setPairMemo.getOrElseUpdate(k, buildSetPairs(s, d))
+    if (df.sparkSession eq s) df
+    else { val fresh = buildSetPairs(s, d); setPairMemo.update(k, fresh); fresh }
+  }
 
   /** Expansion of surviving set pairs to doc pairs; identical-set groups
     * expand directly to jaccard-1.0 pairs with no verification at all.
@@ -520,11 +531,8 @@ object LlmOps {
     // approxSimilarityJoin is the wrong shape at this corpus density).
     // The oracle pays the quadratic price so the engine doesn't have to.
     Spec("dedup_minhash_full",
-      (s, d) => {
-        graft.functions.SortedIntersectCountExpr.register(s)
-        expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))
-          .orderBy("d1", "d2")
-      },
+      (s, d) => expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))
+        .orderBy("d1", "d2"),
       Some(minhashOracleSql(""))),
 
     // The same relation with recall 1.0 BY THEOREM: exact prefix-filtered
@@ -555,7 +563,6 @@ object LlmOps {
     // quadratic pair sort with one hash shuffle at doc grain.
     Spec("dedup_canonical",
       (s, d) => {
-        graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
         val pairs = expandSetPairs(groups, minhashSetPairs(s, d))
         val edges = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
@@ -600,7 +607,6 @@ object LlmOps {
     // possible (DuckDB states it as recursive-CTE reachability).
     Spec("dedup_cc_labelprop",
       (s, d) => {
-        graft.functions.SortedIntersectCountExpr.register(s)
         val groups = tokenSetGroups(s, d)
         val setPairs = minhashSetPairs(s, d)
         val edgesRaw = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
@@ -675,7 +681,6 @@ object LlmOps {
     // degree 0. Aggregate-of-aggregate: output is |distinct degrees| rows.
     Spec("graph_degree_dist",
       (s, d) => {
-        graft.functions.SortedIntersectCountExpr.register(s)
         val pairs = expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))
         val ends = pairs.select(col("d1").as("doc_id"))
           .unionByName(pairs.select(col("d2").as("doc_id")))
@@ -707,7 +712,6 @@ object LlmOps {
     // SET grouping and the exact Jaccard pair relation at set grain.
     Spec("graph_triangle_count",
       (s, d) => {
-        graft.functions.SortedIntersectCountExpr.register(s)
         val e = minhashSetPairs(s, d).select("sa", "sb")
         val wedge = e.select(col("sa").as("a"), col("sb").as("b"))
           .join(e.select(col("sa").as("b"), col("sb").as("c")), "b")
