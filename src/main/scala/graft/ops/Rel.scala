@@ -201,6 +201,26 @@ object Rel {
                 (nullif(o_orderstatus, 'P') IS NOT NULL) AS is_not_null,
                 (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS nsafe_f,
                 (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS nsafe_null
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Hidden file-metadata columns (`_metadata.file_name` / `file_size`) —
+    // the scan surface lineage/debugging tooling leans on ("which file did
+    // this row come from"). Reading them is free (constant per split, no
+    // extra I/O). The oracle cannot name the engine-specific path, so the
+    // checkable output is the structural invariant: all rows of this
+    // single-file fixture carry ONE distinct (file_name, file_size) pair,
+    // plus row stats proving the data rode along intact.
+    Spec("scan_metadata_cols",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("fname"),
+          col("_metadata.file_size").as("fsize"))
+        .agg(
+          countDistinct(col("fname"), col("fsize")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc")),
+      Some("""SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              FROM documents"""))
   )
 }
