@@ -298,6 +298,27 @@ object Fns {
                     FROM documents)
               ORDER BY doc_id, pos""")),
 
+    // The Spark 4 VARIANT type: parse_json → a binary semi-structured
+    // value with typed path extraction (variant_get) — the modern
+    // replacement for string-JSON re-parsing on every access; at scale the
+    // parse happens once at ingest and every downstream extraction is a
+    // cheap binary traversal. try_variant_get covers the missing-path NULL
+    // contract. Extracted primitives (never the opaque VARIANT itself) are
+    // the output, so the oracle states the same values via DuckDB's JSON
+    // operators.
+    Spec("fn_variant",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_variant"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("k_missing"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k_variant,
+                CAST(json_extract_string(props, '$.missing') AS BIGINT)
+                  AS k_missing
+              FROM events ORDER BY event_id""")),
+
     // stack() — the wide→long generator (n fixed attribute rows per input
     // row), the remaining UDTF form next to explode/posexplode. Pure
     // per-row expansion, no shuffle before the presentation sort; the
