@@ -139,11 +139,17 @@ object Bench {
       System.err.println(s"""[bench] failed_queries ${failed.mkString(",")}""")
     val (load1, gc1, spin1) = sentinel()
     System.err.println(f"[bench] sentinel end cpus=${Runtime.getRuntime.availableProcessors} load=$load1%.2f gc_ms=$gc1 spin_ms=$spin1%.1f")
+    // One-time minhash memo build cost (candidate join + verify): paid in
+    // the first consumer's discarded sample, so no steady-state per-query
+    // number includes it. Carried explicitly so the artifact itself shows
+    // what a cold single-query run of a memoized dedup query would add.
+    val memoBuild = ops.LlmOps.memoBuildSeconds
+    System.err.println(f"[bench] memo_build_s $memoBuild%.2f")
     // …short total line LAST so a tail capture always parses it. The
     // sentinel fields ride along so host contention is provable from the
     // graded artifact itself (spin_ms ≫ ~100 ⇒ loaded host, not a code
     // regression).
-    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"load_avg":$load1%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"memo_build_s":$memoBuild%.2f,"load_avg":$load1%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f}""")
     spark.stop()
   }
 }

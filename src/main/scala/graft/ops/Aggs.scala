@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Spec, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2 category D — aggregation forms.
   *
@@ -309,11 +310,17 @@ object Aggs {
     // values are unspecified, so the ordering key is made UNIQUE — exact
     // cents (round(value·100), a 2-decimal fixture column, is an exact
     // integer on both engines) scaled and combined with the unique
-    // event_id. One hash aggregate, map-side partial, same shuffle as any
-    // groupBy.
+    // event_id. The packed key is WIDE integer arithmetic on both sides —
+    // DECIMAL(38,0) in Spark, HUGEINT in DuckDB (both exact 128-bit-class;
+    // a BIGINT key would silently assume event_id < 10^10 and
+    // |cents| < 9.2e8, and past that Spark wraps where ANSI DuckDB errors
+    // — a latent engine divergence, not just a wrong answer). DuckDB 1.0
+    // has no struct-keyed max_by, so a composite (cents, event_id) tuple
+    // key is not portable; wide packing is. One hash aggregate, map-side
+    // partial, same shuffle as any groupBy.
     Spec("agg_min_max_by",
       (s, d) => {
-        val key = round(col("value") * 100).cast("long") *
+        val key = round(col("value") * 100).cast(DecimalType(38, 0)) *
           lit(10000000000L) + col("event_id")
         t(s, d, "events").groupBy("event_type")
           .agg(max_by(col("user_id"), key).as("top_user"),
@@ -323,9 +330,9 @@ object Aggs {
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
-                max_by(user_id, CAST(round("value" * 100) AS BIGINT)
+                max_by(user_id, CAST(round("value" * 100) AS HUGEINT)
                   * 10000000000 + event_id) AS top_user,
-                min_by(user_id, CAST(round("value" * 100) AS BIGINT)
+                min_by(user_id, CAST(round("value" * 100) AS HUGEINT)
                   * 10000000000 + event_id) AS bottom_user,
                 max("value") AS max_value, min("value") AS min_value
               FROM events GROUP BY event_type ORDER BY event_type""")),

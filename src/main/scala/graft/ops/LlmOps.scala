@@ -177,14 +177,14 @@ object LlmOps {
     * storage-level default (MEMORY_AND_DISK, LRU-evictable).
     */
   private[graft] def tokenSetGroups(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"),
-        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
-      .groupBy("ts")
-      .agg(min("doc_id").as("set_id"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("nt", size(col("ts")).cast("long"))
-      .cache()
+    trackedCache(s, d, "tokenSetGroups",
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+        .groupBy("ts")
+        .agg(min("doc_id").as("set_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .withColumn("nt", size(col("ts")).cast("long")))
 
   /** Candidate set pairs via hand-rolled banded MinHash: 8 signatures per
     * set as `array_min(transform(ts, xxhash64(band, token)))` — pure
@@ -232,11 +232,12 @@ object LlmOps {
     // consume this relation and the window subtree would otherwise run
     // twice; it holds only the ⌊nt/10⌋+1 prefix tokens per SET (~0.4 rows
     // per document at 10% prefix), far smaller than the corpus
-    val ranked = tk.join(dfreq, "token")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("set_id").orderBy(col("df"), col("token"))))
-      .where(col("rk") <= floor(col("nt") / lit(10)) + 1)
-      .cache()
+    val ranked = trackedCache(groups.sparkSession,
+      s"plan${groups.queryExecution.analyzed.semanticHash()}", "prefixCandidates",
+      tk.join(dfreq, "token")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("set_id").orderBy(col("df"), col("token"))))
+        .where(col("rk") <= floor(col("nt") / lit(10)) + 1))
     val a = ranked.select(col("set_id").as("sa"), col("nt").as("na"), col("token"))
     val b = ranked.select(col("set_id").as("sb"), col("nt").as("nb"), col("token"))
     a.join(b, Seq("token"))
@@ -291,19 +292,82 @@ object LlmOps {
     */
   private val setPairMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Cumulative wall-clock spent in [[buildSetPairs]] this JVM — the
+    * one-time memo build cost the per-query bench numbers deliberately
+    * exclude (it lands in the first consumer's discarded sample). Bench
+    * reads this and carries it in the artifact so the cold-path cost
+    * stays visible even though no steady-state sample pays it.
+    */
+  private val memoBuildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  def memoBuildSeconds: Double = memoBuildNanos.get() / 1e9
   private def buildSetPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCountExpr.register(s)
+    val t0 = System.nanoTime()
     val groups = tokenSetGroups(s, d)
-    verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
+    val built =
+      verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
+    memoBuildNanos.addAndGet(System.nanoTime() - t0)
+    built
   }
   private[graft] def minhashSetPairs(s: SparkSession, d: String): DataFrame = {
-    // string key + session-identity validation (the Inference.cached
-    // pattern): a stopped session's entry is replaced, not served, and the
-    // map never pins stopped-session plans under live keys
-    val k = s"${s.hashCode()}|$d"
+    // identity-hash key (NOT hashCode: SparkSession inherits Object's
+    // hashCode today, but an identityHashCode key can't silently change
+    // semantics if that ever changes) + session-identity validation (the
+    // Inference.cached pattern): a stopped session's entry is replaced,
+    // not served. A live/live identityHashCode collision degrades to
+    // replace-on-access (correct, slower), never to serving a wrong plan —
+    // the `eq` check is the authority, the key is only a lookup hint.
+    val k = s"${System.identityHashCode(s)}|$d"
     val df = setPairMemo.getOrElseUpdate(k, buildSetPairs(s, d))
     if (df.sparkSession eq s) df
     else { val fresh = buildSetPairs(s, d); setPairMemo.update(k, fresh); fresh }
+  }
+
+  // ------------------------------------------------------------------
+  // Cache/memo lifecycle. Every relation this module pins (the two
+  // `.cache()`d intermediates and the localCheckpointed memo) registers
+  // here so a long-lived session can evict them once a sfDir's sweep is
+  // done — the harness's one-session-per-run lifecycle never needs it,
+  // but a multi-tenant session processing many corpora would otherwise
+  // accumulate pinned storage per (session, sfDir) until LRU pressure.
+  // ------------------------------------------------------------------
+  private val trackedCaches =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def trackedCache(s: SparkSession, scope: String, tag: String,
+                           df: DataFrame): DataFrame = {
+    // same plan → CacheManager dedups the storage; tracking one
+    // representative DataFrame per (session, scope, tag) is enough to
+    // unpersist it
+    trackedCaches.update(s"${System.identityHashCode(s)}|$scope|$tag", df)
+    df.cache()
+  }
+  /** Evict every cached / checkpointed relation this module pinned for
+    * session `s` (all sfDirs). Returns the number of relations released.
+    * Safe to call repeatedly; queries rebuild transparently afterwards.
+    */
+  def unpersistAll(s: SparkSession): Int = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val prefix = s"${System.identityHashCode(s)}|"
+    var n = 0
+    trackedCaches.filterInPlace { (k, df) =>
+      val mine = k.startsWith(prefix) && (df.sparkSession eq s)
+      if (mine) { df.unpersist(blocking = true); n += 1 }
+      !mine
+    }
+    setPairMemo.filterInPlace { (k, df) =>
+      val mine = k.startsWith(prefix) && (df.sparkSession eq s)
+      if (mine) {
+        // a localCheckpointed relation pins RDD blocks, not CacheManager
+        // entries — free them via the underlying checkpointed RDD
+        df.queryExecution.analyzed.foreach {
+          case lr: LogicalRDD => lr.rdd.unpersist(blocking = true)
+          case _ =>
+        }
+        n += 1
+      }
+      !mine
+    }
+    n
   }
 
   /** Expansion of surviving set pairs to doc pairs; identical-set groups
@@ -679,6 +743,17 @@ object LlmOps {
     // the memoized verified pair relation; two hash aggregates (doc grain,
     // then degree grain) and a left join to count isolated docs as
     // degree 0. Aggregate-of-aggregate: output is |distinct degrees| rows.
+    //
+    // RECALL ASSUMPTION (same epistemic status as dedup_minhash_full, but
+    // sharper consequences): the engine side rides the BANDED-minhash
+    // candidate relation while the oracle enumerates exact-Jaccard pairs,
+    // so the comparison holds only because a true ≥0.9 pair misses all 8
+    // bands with probability (1-0.9)^8 = 1e-8 — and unlike the pair
+    // listing, ONE missed edge here shifts a whole histogram bucket (and
+    // below, changes n_triangles). A recall-independent alternative is to
+    // derive the oracle from the same banded candidates; we keep the
+    // exact oracle precisely because it also audits banding recall at
+    // fixture scale.
     Spec("graph_degree_dist",
       (s, d) => {
         val pairs = expandSetPairs(tokenSetGroups(s, d), minhashSetPairs(s, d))

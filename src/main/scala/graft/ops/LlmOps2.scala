@@ -604,35 +604,40 @@ object LlmOps2 {
     // corpus cost is the single count aggregate. Determinism: the
     // normalizer Σ n^0.7 is a SORTED fold (array_sort + aggregate ≡
     // DuckDB list_sort + list_reduce, identical addition order — a float
-    // sum over groups would be merge-order dependent), pow() outputs are
-    // rounded per the libm convention (Fns.scala), and natural_frac is a
-    // single division on identical integers (bit-identical, unrounded).
+    // sum over groups would be merge-order dependent), each pow() term is
+    // rounded to 6 places BEFORE the fold per the libm convention
+    // (Fns.scala: libm pow is only 1-ulp-accurate, so summing RAW pow
+    // outputs would rely on JVM Math.pow matching DuckDB's libm bit-for-
+    // bit — rounding first makes the summed operands bit-identical by
+    // construction), and natural_frac is a single division on identical
+    // integers (bit-identical, unrounded).
     Spec("sample_temperature",
       (s, d) => {
         val g = t(s, d, "documents").groupBy("lang")
           .agg(count(lit(1)).as("n_docs"))
+        val rpow = round(pow(col("n_docs").cast("double"), lit(0.7)), 6)
         val z = g.agg(sum(col("n_docs")).as("n_total"),
-          aggregate(array_sort(collect_list(
-            pow(col("n_docs").cast("double"), lit(0.7)))), lit(0.0d),
+          aggregate(array_sort(collect_list(rpow)), lit(0.0d),
             (a, x) => a + x).as("zpow"))
         g.crossJoin(broadcast(z))
           .select(col("lang"), col("n_docs"),
             (col("n_docs").cast("double") / col("n_total").cast("double"))
               .as("natural_frac"),
-            round(pow(col("n_docs").cast("double"), lit(0.7)) / col("zpow"), 6)
-              .as("temp_weight"))
+            round(rpow / col("zpow"), 6).as("temp_weight"))
           .orderBy("lang")
       },
       Some("""WITH g AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
               z AS (
                 SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
-                  list_reduce(list_sort(list(pow(CAST(n_docs AS DOUBLE), 0.7))),
+                  list_reduce(list_sort(list(
+                      round(pow(CAST(n_docs AS DOUBLE), 0.7), 6))),
                     (a, b) -> a + b) AS zpow
                 FROM g)
               SELECT lang, n_docs,
                 CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS natural_frac,
-                round(pow(CAST(n_docs AS DOUBLE), 0.7) / zpow, 6) AS temp_weight
+                round(round(pow(CAST(n_docs AS DOUBLE), 0.7), 6) / zpow, 6)
+                  AS temp_weight
               FROM g CROSS JOIN z ORDER BY lang""")),
 
     // Winnowing document fingerprints (the MOSS scheme): hash every token

@@ -77,6 +77,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"SLOW allowlist entries not declared: $stale")
   }
 
+  test("plan guard: memoized dedup consumers actually reuse the pair relation") {
+    // round-7 verdict #4: a refactor that silently bypasses minhashSetPairs
+    // would only surface as a bench regression — assert the plan shape
+    // instead. The memo is a localCheckpointed relation, so a consumer
+    // that reuses it scans an ExistingRDD; one that REBUILDS would plan
+    // the banded-minhash candidate join, whose xxhash64(band, token)
+    // signature appears nowhere else in these queries' plans.
+    ops.LlmOps.minhashSetPairs(spark, sf).count() // ensure the memo exists
+    for (name <- Seq("dedup_canonical", "graph_degree_dist",
+        "graph_triangle_count", "dedup_cc_labelprop")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name does not scan the localCheckpointed memo relation")
+      assert(!plan.contains("xxhash64"),
+        s"$name plans the banded-minhash candidate join — memo bypassed")
+    }
+  }
+
   test("plan guard: join_bucketed_colocated joins without re-shuffling either side") {
     val plan = q("join_bucketed_colocated").queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), "bucketed join no longer sort-merge")
