@@ -565,6 +565,76 @@ object Analytics {
                 USING (wk)
               GROUP BY w.wk ORDER BY w.wk""")),
 
+    // SQL pipe syntax (Spark 4 `|>`) — the linear query-authoring surface:
+    // each operator consumes the previous result top-to-bottom, no inside-
+    // out reading. Pure PARSER sugar: Catalyst receives the identical
+    // logical plan as the desugared form (filter → two-phase hash agg with
+    // the decimal money-sum → sort), so the 100 TB story is its twin's.
+    // DuckDB has no pipe dialect; the oracle IS the desugared SQL, which
+    // doubles as documentation of the desugaring.
+    Spec("sql_pipe_syntax",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""FROM lineitem
+                  |> WHERE l_shipdate <= DATE '1998-09-02'
+                  |> AGGREGATE ${msumSql("l_extendedprice")} AS revenue,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                         AS sum_qty,
+                       count(*) AS n
+                     GROUP BY l_returnflag, l_linestatus
+                  |> ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 ${msumSql("l_extendedprice")} AS revenue,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                   AS sum_qty,
+                 count(*) AS n
+               FROM lineitem
+               WHERE l_shipdate <= DATE '1998-09-02'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // GROUP BY ALL / ORDER BY ALL sugar (Spark 4 ≡ DuckDB): group on
+    // every non-aggregate select item, order on every output column
+    // left-to-right. Resolved at ANALYSIS time to the explicit form — the
+    // oracle states that desugared form, so the row is also a regression
+    // tripwire on the resolution rule itself. Same two-phase hash
+    // aggregate as any groupBy; ORDER BY ALL's total order over all
+    // columns is what the determinism contract wants anyway.
+    Spec("agg_group_by_all",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+                    ${msumSql("l_extendedprice * (1 - l_discount)", 4)}
+                      AS disc_rev,
+                    count(*) AS n
+                  FROM lineitem
+                  GROUP BY ALL
+                  ORDER BY ALL""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 ${msumSql("l_extendedprice * (1 - l_discount)", 4)}
+                   AS disc_rev,
+                 count(*) AS n
+               FROM lineitem
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus, disc_rev, n""")),
+
+    // ORDER BY ALL standalone (no grouping): a total presentation order
+    // over every output column without naming them — exactly the
+    // determinism contract every oracle query hand-writes. Desugared at
+    // analysis to the explicit column list the oracle states.
+    Spec("sort_order_by_all",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal
+                 FROM customer WHERE c_acctbal > 9000
+                 ORDER BY ALL""")
+      },
+      Some("""SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal
+              FROM customer WHERE c_acctbal > 9000
+              ORDER BY c_mktsegment, c_nationkey, c_custkey, c_acctbal""")),
+
     // ANSI-safe casting: try_cast returns NULL on malformed input instead
     // of failing the job — the semantics a 100 TB dirty-text pipeline
     // needs (one bad row must not kill a stage). Valid digits extracted
