@@ -1,0 +1,291 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category K — similarity search, near-dup-graph analytics,
+  * and the multimodal join (split out of LlmOps.scala along its comment
+  * seams, round-7 verdict #8; zero behavior change).
+  *
+  * Scale design: the exact similarity queries bound their candidate set by
+  * a FIXED probe predicate (vec_id<5 / %50), so work is linear in corpus
+  * size — scan ∥ broadcast ∥ fold; the unbounded ANN path is
+  * `sim_lsh_approx` (banded random-hyperplane LSH + exact re-rank). The
+  * graph analytics ride the memoized verified-pair relation built once per
+  * (session, sfDir) by [[LlmOps.minhashSetPairs]].
+  */
+object SimGraph {
+  import Tables._
+
+  /** Cosine of probe set (predicate on vec_id) vs all other vectors.
+    *
+    * Dot products as a zip_with + sequential fold over the two arrays:
+    * fully codegen'd double arithmetic, bit-identical to DuckDB's
+    * list_reduce (both fold left-to-right; Spark's 0.0 init is exact), and
+    * — unlike an explode + groupBy-on-pos shape — no shuffle at all: the
+    * bounded probe side broadcasts and each corpus row folds locally.
+    * That is the plan that survives 100 TB: scan ∥ broadcast ∥ fold.
+    */
+  private def cosine(s: SparkSession, d: String, probePred: Column): DataFrame = {
+    val normExpr = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normExpr)
+    val p = v.where(probePred)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"), col("nrm").as("pn"))
+    v.join(broadcast(p), col("vec_id") =!= col("p_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("p_emb"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, x) => a + x))
+      .select(col("p_id"), col("vec_id"),
+        round(col("dot") / (col("pn") * col("nrm")), 6).as("cosine"))
+  }
+
+  /** DuckDB CTE text mirroring [[cosine]]; `probePred` over p.vec_id. */
+  private def cosineSql(probePred: String): String =
+    s"""emb2 AS (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+          FROM embeddings),
+        cosv AS (
+          SELECT p.vec_id AS p_id, v.vec_id,
+            round(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+              / (p.nrm * v.nrm), 6) AS cosine
+          FROM emb2 p JOIN emb2 v ON v.vec_id <> p.vec_id
+          WHERE $probePred)"""
+
+  val all: Seq[Spec] = Seq(
+    // ------------------------------------------ similarity-graph analytics
+    // Degree distribution of the ≥0.9 near-dup graph — the corpus-health
+    // histogram a dedup run reports (how clique-y is the corpus?). Rides
+    // the memoized verified pair relation; two hash aggregates (doc grain,
+    // then degree grain) and a left join to count isolated docs as
+    // degree 0. Aggregate-of-aggregate: output is |distinct degrees| rows.
+    //
+    // RECALL ASSUMPTION (same epistemic status as dedup_minhash_full, but
+    // sharper consequences): the engine side rides the BANDED-minhash
+    // candidate relation while the oracle enumerates exact-Jaccard pairs,
+    // so the comparison holds only because a true ≥0.9 pair misses all 8
+    // bands with probability (1-0.9)^8 = 1e-8 — and unlike the pair
+    // listing, ONE missed edge here shifts a whole histogram bucket (and
+    // below, changes n_triangles). A recall-independent alternative is to
+    // derive the oracle from the same banded candidates; we keep the
+    // exact oracle precisely because it also audits banding recall at
+    // fixture scale.
+    Spec("graph_degree_dist",
+      (s, d) => {
+        val pairs = LlmOps.expandSetPairs(
+          LlmOps.tokenSetGroups(s, d), LlmOps.minhashSetPairs(s, d))
+        val ends = pairs.select(col("d1").as("doc_id"))
+          .unionByName(pairs.select(col("d2").as("doc_id")))
+        val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        t(s, d, "documents").select("doc_id")
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH ${LlmOps.pairCte("")},
+               p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.9),
+               ends AS (SELECT d1 AS doc_id FROM p
+                        UNION ALL SELECT d2 AS doc_id FROM p),
+               deg AS (SELECT doc_id, count(*) AS degree FROM ends
+                       GROUP BY doc_id)
+               SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
+               FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+               GROUP BY 1 ORDER BY degree""")),
+
+    // Triangle counting (the standard graph-motif statistic) on the
+    // CONTRACTED set graph — same contraction argument as
+    // dedup_cc_labelprop: identical-token-set docs collapse to one node,
+    // so the 3-way join runs on ~29k set edges at sf0.1 instead of ~2M doc
+    // edges (where clique density would make the triangle count itself
+    // quadratic-explosive). Edges are oriented sa<sb by construction, so
+    // each triangle a<b<c is counted exactly once by the canonical
+    // wedge-close join: (a,b)⋈(b,c)⋈(a,c). The oracle restates the token-
+    // SET grouping and the exact Jaccard pair relation at set grain.
+    Spec("graph_triangle_count",
+      (s, d) => {
+        val e = LlmOps.minhashSetPairs(s, d).select("sa", "sb")
+        val wedge = e.select(col("sa").as("a"), col("sb").as("b"))
+          .join(e.select(col("sa").as("b"), col("sb").as("c")), "b")
+        val tri = wedge.join(
+          e.select(col("sa").as("a"), col("sb").as("c")), Seq("a", "c"))
+        val nodes = LlmOps.tokenSetGroups(s, d).select("set_id")
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+          .select("n_nodes", "n_edges", "n_triangles")
+      },
+      Some("""WITH sets AS (
+                 SELECT min(doc_id) AS set_id,
+                   list_sort(list_distinct(string_split(text, ' '))) AS ts
+                 FROM documents
+                 GROUP BY list_sort(list_distinct(string_split(text, ' ')))),
+               stk AS (SELECT set_id, unnest(ts) AS token FROM sets),
+               ssz AS (SELECT set_id, count(*) AS nt FROM stk GROUP BY set_id),
+               sp AS (
+                 SELECT a.set_id AS sa, b.set_id AS sb, count(*) AS inter
+                 FROM stk a JOIN stk b
+                   ON a.token = b.token AND a.set_id < b.set_id
+                 GROUP BY a.set_id, b.set_id),
+               se AS (
+                 SELECT sa, sb FROM sp
+                   JOIN ssz za ON sa = za.set_id
+                   JOIN ssz zb ON sb = zb.set_id
+                 WHERE CAST(inter AS DOUBLE) / (za.nt + zb.nt - inter) >= 0.9)
+               SELECT
+                 (SELECT count(*) FROM sets) AS n_nodes,
+                 (SELECT count(*) FROM se) AS n_edges,
+                 (SELECT count(*)
+                  FROM se ab JOIN se bc ON ab.sb = bc.sa
+                             JOIN se ac ON ac.sa = ab.sa AND ac.sb = bc.sb)
+                   AS n_triangles""")),
+
+    // ------------------------------------------------------ similarity
+    Spec("sim_cosine_topk",
+      (s, d) => {
+        val w = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        cosine(s, d, col("vec_id") < 5)
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select("p_id", "rnk", "vec_id", "cosine")
+          .orderBy("p_id", "rnk")
+      },
+      Some(s"""WITH ${cosineSql("p.vec_id < 5")}
+               SELECT p_id, rnk, vec_id, cosine FROM (
+                 SELECT p_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM cosv) WHERE rnk <= 5
+               ORDER BY p_id, rnk""")),
+
+    // 3-NN majority vote; ties → lowest label.
+    Spec("sim_knn_classify",
+      (s, d) => {
+        val wN = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        val nn = cosine(s, d, col("vec_id") % 50 === 0)
+          .withColumn("rnk", row_number().over(wN))
+          .where(col("rnk") <= 3)
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val votes = nn.join(lbl, "vec_id")
+          .groupBy("p_id", "label").agg(count(lit(1)).as("votes"))
+        val wV = Window.partitionBy("p_id").orderBy(desc("votes"), asc("label"))
+        val pred = votes.withColumn("vr", row_number().over(wV)).where(col("vr") === 1)
+          .select(col("p_id"), col("label").as("pred"), col("votes"))
+        pred.join(lbl.select(col("vec_id").as("p_id"), col("label").as("true_label")), "p_id")
+          .select("p_id", "true_label", "pred", "votes")
+          .orderBy("p_id")
+      },
+      Some(s"""WITH ${cosineSql("p.vec_id % 50 = 0")},
+               nn AS (
+                 SELECT p_id, vec_id FROM (
+                   SELECT p_id, vec_id,
+                     row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, vec_id) AS rnk
+                   FROM cosv) WHERE rnk <= 3),
+               votes AS (
+                 SELECT nn.p_id, e.label, count(*) AS votes
+                 FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id
+                 GROUP BY nn.p_id, e.label),
+               pred AS (
+                 SELECT p_id, label AS pred, votes FROM (
+                   SELECT p_id, label, votes,
+                     row_number() OVER (PARTITION BY p_id ORDER BY votes DESC, label) AS vr
+                   FROM votes) WHERE vr = 1)
+               SELECT p.p_id, e.label AS true_label, p.pred, p.votes
+               FROM pred p JOIN embeddings e ON p.p_id = e.vec_id
+               ORDER BY p.p_id""")),
+
+    // Random-hyperplane LSH ANN — the sub-quadratic similarity path. The
+    // LSH stage only GENERATES candidates: bucketLength 4.0 over 16 OR'd
+    // tables puts the per-pair miss probability around 1e-10 for pairs at
+    // ranking-relevant distance (top-5 dists sit at ~1.1-1.25, far inside
+    // the 2.5 budget; collision prob per table ≈ 1-E|N(0,c²)|/4 ≈ 0.75),
+    // so the candidate set whp contains every neighbor the query can rank.
+    // Exact euclidean distance is then recomputed with the same zip_with
+    // fold the oracle uses (bit-identical sequential double sums), making
+    // the top-5 per probe deterministic — the oracle computes it by brute
+    // force.
+    Spec("sim_lsh_approx",
+      (s, d) => {
+        import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = t(s, d, "embeddings")
+          .withColumn("vec", array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+          .select("vec_id", "vec", "embedding")
+        val brp = new BucketedRandomProjectionLSH().setInputCol("vec").setOutputCol("hashes")
+          .setBucketLength(4.0).setNumHashTables(16).setSeed(42L)
+        val model = brp.fit(emb)
+        val probes = emb.where(col("vec_id") < 5)
+        val exactDist = sqrt(aggregate(
+          zip_with(col("p_emb"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => a + x))
+        val w = Window.partitionBy("p_id").orderBy(asc("dist"), asc("vec_id"))
+        model.approxSimilarityJoin(probes, emb, 2.5, "lsh_dist")
+          .select(
+            col("datasetA.vec_id").as("p_id"), col("datasetA.embedding").as("p_emb"),
+            col("datasetB.vec_id").as("vec_id"), col("datasetB.embedding").as("c_emb"))
+          .where(col("p_id") =!= col("vec_id"))
+          .withColumn("dist", round(exactDist, 6))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select("p_id", "rnk", "vec_id", "dist")
+          .orderBy("p_id", "rnk")
+      },
+      Some("""WITH dists AS (
+                SELECT p.vec_id AS p_id, v.vec_id,
+                  round(sqrt(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+                    (a, b) -> a + b)), 6) AS dist,
+                  sqrt(list_reduce(list_transform(list_zip(p.embedding, v.embedding),
+                      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+                    (a, b) -> a + b)) AS dist_raw
+                FROM embeddings p JOIN embeddings v ON v.vec_id <> p.vec_id
+                WHERE p.vec_id < 5)
+              SELECT p_id, rnk, vec_id, dist FROM (
+                SELECT p_id, vec_id, dist,
+                  row_number() OVER (PARTITION BY p_id ORDER BY dist, vec_id) AS rnk
+                FROM dists WHERE dist_raw <= 2.5)
+              WHERE rnk <= 5 ORDER BY p_id, rnk""")),
+
+    // ------------------------------------------------------ multimodal
+    Spec("multimodal_join",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+          .withColumn("l2",
+            sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+              lit(0.0), (a, x) => a + x)))
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .withColumn("rec", struct(
+            col("lang").as("lang"), col("n_chars").as("n_chars"),
+            round(col("l2"), 6).as("l2_norm"), col("label").as("label")))
+          .where(col("rec.lang").isin("en", "fr") && col("rec.label") < 5)
+          .select(
+            col("doc_id"), col("rec.lang").as("lang"), col("rec.n_chars").as("n_chars"),
+            col("rec.l2_norm").as("l2_norm"), col("rec.label").as("label"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH emb AS (
+                SELECT vec_id, label,
+                  sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2
+                FROM embeddings),
+              j AS (
+                SELECT d.doc_id,
+                  struct_pack(lang := d.lang, n_chars := d.n_chars,
+                    l2_norm := round(e.l2, 6), label := e.label) AS rec
+                FROM documents d JOIN emb e ON d.doc_id = e.vec_id)
+              SELECT doc_id, rec.lang AS lang, rec.n_chars AS n_chars,
+                rec.l2_norm AS l2_norm, rec.label AS label
+              FROM j WHERE rec.lang IN ('en', 'fr') AND rec.label < 5
+              ORDER BY doc_id"""))
+  )
+}

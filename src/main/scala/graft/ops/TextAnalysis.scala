@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category K — text-analysis operators over `documents`
+  * (split out of LlmOps.scala along its comment seams, round-7 verdict #8;
+  * zero behavior change). The shared (doc_id, pos, token) stream is
+  * [[LlmOps.toks]] / [[LlmOps.toksSql]] — the dedup family consumes the
+  * same convention, so it stays in LlmOps.
+  *
+  * Scale design: token explodes shuffle (doc, token) pairs only; counts
+  * are two-phase hash aggregates; top-k endings are TakeOrderedAndProject
+  * (no global sort of the vocabulary).
+  */
+object TextAnalysis {
+  import Tables._
+  import LlmOps.{toks, toksSql}
+
+  val all: Seq[Spec] = Seq(
+    Spec("text_tokenize",
+      (s, d) => toks(s, d)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(50),
+      Some(s"""WITH $toksSql
+               SELECT token, count(*) AS n FROM toks
+               GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // BPE-ish pre-tokenization (GPT-2-shaped regex, simplified to the
+    // Java∩RE2 dialect: no lookahead, ASCII classes — the corpus is
+    // ASCII). Contractions split, words/numbers keep their leading
+    // space, punctuation runs group — the shape a byte-pair encoder
+    // consumes. Per-row regex is codegen'd and embarrassingly parallel;
+    // the count is the usual two-phase hash aggregate.
+    Spec("text_tokenize_bpe",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+        t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token")).limit(50)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS token
+                FROM documents)
+              GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    Spec("text_stats",
+      (s, d) => t(s, d, "documents")
+        .withColumn("tok_arr", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("tok_arr")).cast("long"))
+        .withColumn("char_sum",
+          aggregate(col("tok_arr"), lit(0L), (a, x) => a + length(x)))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          (col("char_sum").cast("double") / col("n_tokens")).as("avg_tok_len"),
+          (length(col("text")) === col("n_chars")).as("len_ok"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                (CAST(list_reduce(list_transform(string_split(text, ' '),
+                    x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+                  / len(string_split(text, ' '))) AS avg_tok_len,
+                (length(text) = n_chars) AS len_ok
+              FROM documents ORDER BY doc_id""")),
+
+    Spec("text_lang_dist",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // Bigrams via pos + lead window — identical shape on both engines.
+    Spec("text_ngram",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        toks(s, d)
+          .withColumn("nxt", lead(col("token"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(concat(col("token"), lit(" "), col("nxt")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("bigram")).limit(20)
+      },
+      Some(s"""WITH $toksSql,
+               bg AS (
+                 SELECT token || ' ' || lead(token, 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS bigram
+                 FROM toks)
+               SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
+               GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
+    // TF-IDF top-k terms per document — the corpus-ranking staple. Shape
+    // at 100 TB: two-phase hash aggregate to (doc, token) grain, a
+    // token-keyed shuffle join against document frequencies (both sides
+    // already co-keyed on token from their aggregates), a broadcast
+    // 1-row corpus size, then a per-doc top-k window (WindowGroupLimit
+    // pushes the k cutoff below the shuffle). IDF is the LINEAR ratio
+    // N/df, not ln(N/df): one IEEE divide+multiply on identical integers
+    // is bit-identical across engines, while ln() implementations may
+    // differ in the last ulp and break the hash oracle — rank order is
+    // unaffected (x ↦ ln is monotone).
+    Spec("text_tfidf_topk",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select("doc_id", "rnk", "token", "tf", "df", "score")
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH $toksSql,
+               tf AS (SELECT doc_id, token, count(*) AS tf
+                      FROM toks GROUP BY doc_id, token),
+               dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               scored AS (
+                 SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                   CAST(tf.tf AS DOUBLE)
+                     * (CAST((SELECT n_docs FROM n) AS DOUBLE) / dfx.df) AS score
+                 FROM tf JOIN dfx USING (token)),
+               ranked AS (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+                 FROM scored)
+               SELECT doc_id, rnk, token, tf, df, score
+               FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+  )
+}
