@@ -472,6 +472,53 @@ object Aggs {
                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
                  AND l_discount >= CAST(0.05 AS DOUBLE)
                  AND l_discount <= CAST(0.07 AS DOUBLE)
-                 AND l_quantity < 24.0"""))
+                 AND l_quantity < 24.0""")),
+
+    // Linear-regression aggregates (SQL-standard regr_* family): slope /
+    // intercept / R² of price-vs-quantity per return flag — the one-pass
+    // sufficient-statistics form (Σx, Σy, Σxy, Σx², n) that a 100 TB scan
+    // computes as a single two-phase hash aggregate, no second pass over
+    // the data. Both engines implement the same definitional ratios over
+    // those co-moments; the ratios are irrational so they get the
+    // agg_stats rounding treatment (slope magnitude ~10² → round 4 keeps
+    // ≥1e-6 relative slack over the ~1e-9 accumulated float drift; R² ∈
+    // [0,1] → round 6). regr_count is integer-exact, cast to BIGINT on
+    // both sides (DuckDB types it DOUBLE).
+    Spec("agg_regr",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n_pairs"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // listagg WITHIN GROUP (new in Spark 4) — the SQL-standard ordered
+    // string aggregation, vs agg_collect_sorted's concat_ws(array_sort())
+    // composition of the same result. The WITHIN GROUP order makes the
+    // output deterministic without a post-sort; DuckDB spells the same
+    // operation string_agg(x, sep ORDER BY x). Group sizes here are
+    // dimension-bounded (nations per region), which is the only shape
+    // where a string aggregate belongs at 100 TB — an unbounded listagg
+    // over a fact table is a driver-sized string, not a query result.
+    Spec("agg_listagg",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n_regionkey,
+                   listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+                   count(*) AS n_nations
+                 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS names,
+                count(*) AS n_nations
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -635,6 +635,40 @@ object Analytics {
               FROM customer WHERE c_acctbal > 9000
               ORDER BY c_mktsegment, c_nationkey, c_custkey, c_acctbal""")),
 
+    // Correlated EXISTS / NOT EXISTS — the SQL existence-test surface.
+    // Catalyst decorrelates both predicates at ANALYSIS time into a
+    // left-semi and a left-anti hash join on o_custkey (RewritePredicate
+    // Subquery), so despite the row-at-a-time reading the physical plan
+    // is two key-partitioned joins — the same 100 TB shape as
+    // join_semi/join_anti, never a per-row subquery execution. Identical
+    // SQL runs on both engines.
+    Spec("sql_exists_subquery",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, c_name, c_mktsegment
+                 FROM customer c
+                 WHERE EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000)
+                   AND NOT EXISTS (
+                     SELECT 1 FROM orders o2
+                     WHERE o2.o_custkey = c.c_custkey
+                       AND o2.o_orderstatus = 'P')
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+              FROM customer c
+              WHERE EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'P')
+              ORDER BY c_custkey""")),
+
     // ANSI-safe casting: try_cast returns NULL on malformed input instead
     // of failing the job — the semantics a 100 TB dirty-text pipeline
     // needs (one bad row must not kill a stage). Valid digits extracted

@@ -138,6 +138,74 @@ object TextAnalysis {
                    PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
                  FROM scored)
                SELECT doc_id, rnk, token, tf, df, score
-               FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+               FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Zipf-law fit of the token frequency distribution — the standard
+    // corpus-health diagnostic (natural text has log-freq ≈ -1·log-rank;
+    // a slope far from -1 flags synthetic or boilerplate-heavy data).
+    // Scale shape: the vocabulary is first cut to the top-500 terms by a
+    // TakeOrderedAndProject (count → top-k, no global sort of the vocab),
+    // and only those 500 rows see the single-partition rank window and the
+    // regression — the same bounded-top-k-then-analyze discipline as
+    // text_oov_rate. regr over ln() inputs: both engines feed 1-ulp-exact
+    // libm logs into the co-moment sums; round(4) leaves ~7 orders of
+    // magnitude of slack over the accumulated drift.
+    Spec("text_zipf",
+      (s, d) => {
+        val top = toks(s, d).groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token")).limit(500)
+        val w = Window.orderBy(desc("n"), asc("token"))
+        top.withColumn("rnk", row_number().over(w))
+          .agg(
+            round(regr_slope(log(col("n")), log(col("rnk"))), 4).as("zipf_slope"),
+            round(regr_r2(log(col("n")), log(col("rnk"))), 4).as("r2"),
+            count(lit(1)).as("n_terms"))
+      },
+      Some(s"""WITH $toksSql,
+               tc AS (SELECT token, count(*) AS n FROM toks
+                      GROUP BY token ORDER BY n DESC, token LIMIT 500),
+               ranked AS (
+                 SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+                 FROM tc)
+               SELECT round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+                 round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
+                 count(*) AS n_terms
+               FROM ranked""")),
+
+    // Per-document token-distribution entropy (bits) — the repetition /
+    // diversity quality signal a pretraining filter thresholds on (low
+    // entropy ⇒ boilerplate or stutter). H = log2(n) - Σc·log2(c)/n over
+    // per-doc token counts c: integer counts feed libm log2, each term is
+    // rounded to 6 then summed with the SORTED-fold convention
+    // (sample_temperature precedent) so the float sum is bit-identical by
+    // construction, not by libm coincidence. Shape at 100 TB: one
+    // two-phase hash aggregate to (doc, token) grain, one per-doc
+    // aggregate — both map-side-combining, work linear in token count.
+    Spec("text_entropy",
+      (s, d) => {
+        val tc = toks(s, d).groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id")
+          .agg(
+            sum("c").cast("long").as("n_toks"),
+            count(lit(1)).as("n_distinct"),
+            aggregate(array_sort(collect_list(round(col("c") * log2(col("c")), 6))),
+              lit(0.0d), (a, x) => a + x).as("clog"))
+          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+            round(log2(col("n_toks")) - col("clog") / col("n_toks"), 4)
+              .as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               tc AS (SELECT doc_id, token, count(*) AS c FROM toks
+                      GROUP BY doc_id, token),
+               pd AS (
+                 SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                   count(*) AS n_distinct,
+                   list_reduce(list_sort(list(round(c * log2(c), 6))),
+                     (a, b) -> a + b) AS clog
+                 FROM tc GROUP BY doc_id)
+               SELECT doc_id, n_toks, n_distinct,
+                 round(log2(n_toks) - clog / n_toks, 4) AS entropy_bits
+               FROM pd ORDER BY doc_id"""))
   )
 }
