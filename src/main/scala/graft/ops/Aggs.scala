@@ -519,6 +519,70 @@ object Aggs {
       Some("""SELECT n_regionkey,
                 string_agg(n_name, ',' ORDER BY n_name) AS names,
                 count(*) AS n_nations
-              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // EXACT mergeable distinct counting via bitmaps — the complement of
+    // agg_hll_union: when the key domain is dense integers (user ids,
+    // dictionary codes), a fixed-size bitmap replaces the HLL sketch and
+    // the merged count is exact, not approximate. Same two-level 100 TB
+    // shape: per-(type, day) bitmap partials built where the data lives,
+    // OR-merged register-wise up the tree, no re-scan. The fixture's
+    // user_id < 150 sits in one 32768-bit bucket; a general domain adds
+    // bitmap_bucket_number to the partial grain — the merge algebra is
+    // unchanged. bitmap_bit_position is 1-indexed ((v-1) mod 32768), so
+    // the 0-based user_id is shifted +1 to keep id 0 in-bucket. The
+    // oracle states the exactness invariant literally (count DISTINCT
+    // plus a boolean both engines agree is true).
+    Spec("agg_bitmap_distinct",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val daily = e
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id") + 1)).as("bm"))
+          .groupBy("event_type")
+          .agg(bitmap_count(bitmap_or_agg(col("bm"))).as("merged_n"))
+        val direct = e.groupBy("event_type")
+          .agg(
+            bitmap_count(bitmap_construct_agg(bitmap_bit_position(col("user_id") + 1)))
+              .as("direct_n"),
+            countDistinct(col("user_id")).as("exact_users"))
+        daily.join(direct, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (col("merged_n") === col("exact_users") &&
+              col("direct_n") === col("exact_users")).as("bitmap_exact"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                true AS bitmap_exact
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // grouping() / grouping_id() — the cube-introspection functions that
+    // tell a report row WHICH aggregation level produced it (0 = grouped,
+    // 1 = rolled up), so a consumer can filter subtotal grains without
+    // string-matching coalesced placeholders. Resolved at analysis time to
+    // the spread-out cube representation; physically the same single-pass
+    // expand + two-phase hash aggregate as agg_cube. Spark types
+    // grouping() TINYINT and grouping_id() BIGINT, DuckDB types both
+    // BIGINT — both sides cast to BIGINT for the dtype-strict checker.
+    Spec("agg_grouping_id",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   count(*) AS n
+                 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+                 ORDER BY gid, rf, ls""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, rf, ls"""))
   )
 }

@@ -374,6 +374,25 @@ object Fns {
                 SELECT doc_id, struct_pack(lang := lang, n := n_chars) AS s
                 FROM documents)
               SELECT doc_id, s.lang AS slang, s.n AS sn
-              FROM tt WHERE s.lang = 'en' ORDER BY doc_id"""))
+              FROM tt WHERE s.lang = 'en' ORDER BY doc_id""")),
+
+    // C-style string formatting (Spark format_string ≡ DuckDB printf —
+    // both delegate to printf-convention formatters): zero-padded ints,
+    // fixed-width floats, hex. The float operands are exactly
+    // representable multiples of 0.5, so %8.2f never hits the
+    // half-way-rounding divergence between Java's HALF_UP Formatter and
+    // C's shortest-representation printf. Per-row codegen'd projection,
+    // embarrassingly parallel.
+    Spec("fn_printf",
+      (s, d) => t(s, d, "nation")
+        .select(col("n_nationkey"),
+          format_string("%s|%04d|%8.2f|%x",
+            col("n_name"), col("n_nationkey"),
+            col("n_nationkey") * lit(1.5), col("n_nationkey")).as("formatted"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+                printf('%s|%04d|%8.2f|%x', n_name, n_nationkey,
+                  n_nationkey * 1.5, n_nationkey) AS formatted
+              FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -420,5 +420,33 @@ object Joins {
                WHERE p_size <= 5
                GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of vanishing — the semantics a
+    // dirty-dimension join needs when "unknown" is itself a join class.
+    // CRITICALLY still an EQUI join to Catalyst: ExtractEquiJoinKeys
+    // accepts EqualNullSafe, so this hash-partitions on the key like any
+    // inner join (nulls co-locate in one partition) — never the
+    // NestedLoop a `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` rewrite
+    // would produce. The fixture has no NULLs, so the query derives them
+    // (nullif on one region) — 25 NULL-key pairs prove the match.
+    Spec("join_null_safe",
+      (s, d) => {
+        val key = when(col("n_regionkey") === 2, lit(null))
+          .otherwise(col("n_regionkey"))
+        val a = t(s, d, "nation").select(col("n_nationkey").as("nk_a"), key.as("ka"))
+        val b = t(s, d, "nation").select(col("n_nationkey").as("nk_b"), key.as("kb"))
+        a.join(b, col("ka") <=> col("kb"))
+          .groupBy(coalesce(col("ka").cast("string"), lit("NULL")).as("key_str"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("key_str")
+      },
+      Some("""WITH a AS (SELECT n_nationkey AS nk_a, nullif(n_regionkey, 2) AS ka
+                         FROM nation),
+                   b AS (SELECT n_nationkey AS nk_b, nullif(n_regionkey, 2) AS kb
+                         FROM nation)
+              SELECT coalesce(CAST(ka AS VARCHAR), 'NULL') AS key_str,
+                count(*) AS n_pairs
+              FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+              GROUP BY 1 ORDER BY key_str"""))
   )
 }
