@@ -669,6 +669,63 @@ object Analytics {
                     AND o2.o_orderstatus = 'P')
               ORDER BY c_custkey""")),
 
+    // IN / NOT IN subqueries — the membership twin of the EXISTS row with
+    // a DIFFERENT physical story: IN decorrelates to a left-semi join,
+    // but NOT IN compiles to Spark's null-aware anti join (three-valued
+    // logic: one NULL in the subquery would empty the result, so the
+    // operator must track null presence — a broadcast hash join in
+    // null-aware mode, not a plain anti). o_custkey is non-null here, so
+    // both engines agree on the set semantics while the plan still
+    // exercises the null-aware machinery. Identical SQL on both engines.
+    Spec("sql_in_subquery",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, c_name
+                 FROM customer
+                 WHERE c_custkey IN (
+                     SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+                   AND c_custkey NOT IN (
+                     SELECT o_custkey FROM orders
+                     WHERE o_orderstatus = 'F' AND o_totalprice < 20000)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name
+              FROM customer
+              WHERE c_custkey IN (
+                  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+                AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  WHERE o_orderstatus = 'F' AND o_totalprice < 20000)
+              ORDER BY c_custkey""")),
+
+    // Named WINDOW clause — one window definition shared by several
+    // functions (the SQL-standard way to keep a multi-function ranking
+    // query to ONE shuffle+sort; repeating inline OVER specs invites
+    // accidental divergence and, in naive engines, repeated sorts).
+    // Catalyst resolves all three functions into a single Window node
+    // over one (o_custkey)-partitioned sort. count/min/max over the
+    // running frame avoid the HUGEINT sum class entirely.
+    Spec("sql_named_window",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rn,
+                   count(*) OVER w AS n_so_far,
+                   max(o_totalprice) OVER w AS max_so_far
+                 FROM orders
+                 WINDOW w AS (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey)
+                 ORDER BY o_custkey, rn""")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                row_number() OVER w AS rn,
+                count(*) OVER w AS n_so_far,
+                max(o_totalprice) OVER w AS max_so_far
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+              ORDER BY o_custkey, rn""")),
+
     // ANSI-safe casting: try_cast returns NULL on malformed input instead
     // of failing the job — the semantics a 100 TB dirty-text pipeline
     // needs (one bad row must not kill a stage). Valid digits extracted

@@ -313,6 +313,33 @@ object Windows {
                 l_extendedprice * (1.0 - l_discount) AS revenue
               FROM lineitem
               ORDER BY revenue DESC, l_orderkey, l_linenumber, l_quantity
-              LIMIT 20"""))
+              LIMIT 20""")),
+
+    // Gap fill by last-observation-carried-forward (IGNORE NULLS): the
+    // sparse-to-dense series repair every sensor/price/feature pipeline
+    // runs — only 'purchase' rows carry a value, every other event
+    // inherits the user's most recent one. `last(..., ignoreNulls)` over
+    // a running row frame is a single window pass after one user-keyed
+    // shuffle; NULL stays NULL until the first observation (no seed
+    // fabrication). The carried value is copied, not recomputed, so
+    // cross-engine equality is exact with no rounding. (ts, event_id) is
+    // a unique ordering key — determinism by construction.
+    Spec("win_gap_fill_locf",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            last(when(col("event_type") === "purchase", col("value")),
+              ignoreNulls = true).over(w).as("locf_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN "value" END
+                  IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS locf_value
+              FROM events ORDER BY user_id, event_id"""))
   )
 }
