@@ -386,6 +386,46 @@ object Analytics {
                 END AS z
               FROM win ORDER BY event_type, day""")),
 
+    // Gaps-and-islands: longest consecutive-active-day streak per user —
+    // the classic engagement metric, and the canonical island pattern
+    // (day − row_number() is constant within each run). Day is exact
+    // integer epoch-day arithmetic (`div`, not date_trunc) so both
+    // engines bucket identically. Scale: the (user_id, day) distinct is
+    // a two-phase hash aggregate, the window and both downstream
+    // aggregates all key on user_id — one logical partitioning carried
+    // through; no per-island data movement beyond it. Streak length is
+    // bounded by days-in-corpus, never by corpus size.
+    Spec("evt_streak",
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"),
+            count(lit(1)).as("n_streaks"),
+            (max("len") - min("len")).as("streak_spread"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+              isl AS (
+                SELECT user_id, day,
+                  day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS grp
+                FROM days),
+              runs AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM isl GROUP BY user_id, grp)
+              SELECT user_id, max(len) AS max_streak,
+                     count(*) AS n_streaks,
+                     max(len) - min(len) AS streak_spread
+              FROM runs GROUP BY user_id ORDER BY user_id""")),
+
     // Statistical mode per group, deterministic: count + window top-1 with
     // an explicit value tie-break (engine-native mode() functions break
     // ties arbitrarily — ungradeable and irreproducible). Count is a

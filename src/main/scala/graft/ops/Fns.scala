@@ -393,6 +393,56 @@ object Fns {
       Some("""SELECT n_nationkey,
                 printf('%s|%04d|%8.2f|%x', n_name, n_nationkey,
                   n_nationkey * 1.5, n_nationkey) AS formatted
-              FROM nation ORDER BY n_nationkey"""))
+              FROM nation ORDER BY n_nationkey""")),
+
+    // URL parsing — the web-corpus ingest primitive (host for per-domain
+    // dedup/sampling, path/query for boilerplate filters). The URL is
+    // CONSTRUCTED from table columns so the oracle can state each parsed
+    // component as the ground-truth column it came from: parse_url must
+    // invert our own concat, making the check exact with zero dialect
+    // risk (DuckDB has no parse_url). url_encode follows java.net
+    // URLEncoder ('+' for space, %XX uppercase) — asserted against its
+    // literal expansion. All codegen'd expressions, zero shuffle.
+    Spec("fn_url",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+            col("doc_id"), lit("?lang="), col("lang"), lit("&v=2")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+          expr("url_encode('a b&c=d')").as("enc"),
+          expr("url_decode(url_encode(lang))").as("roundtrip"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                source || '.example.org' AS host,
+                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+                lang AS q_lang,
+                'a+b%26c%3Dd' AS enc,
+                lang AS roundtrip
+              FROM documents ORDER BY doc_id""")),
+
+    // XML surface (Spark 4 built-in): from_xml schema-projected parse +
+    // the xpath_* scalar family. Same construct-then-parse design as
+    // fn_url — the XML is built from table columns (lang/source are
+    // alphanumeric, no escaping needed), so the oracle is the identity
+    // on the source columns and any parser deviation is a hash miss.
+    // DuckDB has no XML functions; the ground-truth-construction oracle
+    // sidesteps the dialect gap entirely. Element-wise, zero shuffle.
+    Spec("fn_xml",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("<r><id>"), col("doc_id"), lit("</id><lang>"),
+            col("lang"), lit("</lang><n>"), col("n_chars"),
+            lit("</n></r>")).as("x"))
+        .select(col("doc_id"),
+          expr("from_xml(x, 'id BIGINT, lang STRING, n BIGINT')").getField("id")
+            .as("xid"),
+          expr("xpath_string(x, '/r/lang')").as("xlang"),
+          expr("xpath_long(x, 'sum(/r/n)')").as("xn"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, doc_id AS xid, lang AS xlang, n_chars AS xn
+              FROM documents ORDER BY doc_id"""))
   )
 }
