@@ -426,6 +426,60 @@ object Analytics {
                      max(len) - min(len) AS streak_spread
               FROM runs GROUP BY user_id ORDER BY user_id""")),
 
+    // Conversion-latency distribution — the funnel twin at DELTA grain:
+    // click→purchase lag percentiles across converted users. Percentiles
+    // are the SQL-standard discrete definition stated EXPLICITLY in both
+    // engines (smallest lag with cume_dist ≥ p) so no engine-native
+    // quantile interpolation — whose last-ulp float arithmetic differs
+    // across engines at µs magnitudes — ever runs; every output is either
+    // an exact integer or a single division of exact integers (avg: both
+    // engines sum ≤2^53-bounded integers exactly, then divide once).
+    // Scale: both aggregates key on user_id; the global cume_dist window
+    // runs at CONVERTED-USER grain (a ~1.5% contraction of users, itself
+    // ≪ corpus); at larger eval populations swap in the two-pass bucketed
+    // rank of win_rank_scalable.
+    Spec("evt_time_to_convert",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val per = e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "click", col("ts"))).as("c_ts"))
+        val pa = e.join(per, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val lag = per.join(pa, "user_id")
+          .select((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("lag_us"))
+        lag.withColumn("cd", cume_dist().over(Window.orderBy("lag_us")))
+          .agg(count(lit(1)).as("n_converted"),
+            min(when(col("cd") >= 0.5, col("lag_us"))).as("p50_us"),
+            min(when(col("cd") >= 0.9, col("lag_us"))).as("p90_us"),
+            min("lag_us").as("min_us"),
+            max("lag_us").as("max_us"),
+            round(avg("lag_us"), 6).as("avg_us"))
+      },
+      Some("""WITH per AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+                FROM events GROUP BY user_id),
+              pa AS (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN per ON e.user_id = per.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= per.c_ts
+                GROUP BY e.user_id),
+              lag AS (
+                SELECT epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+                FROM per JOIN pa ON per.user_id = pa.user_id),
+              cd AS (
+                SELECT lag_us,
+                       cume_dist() OVER (ORDER BY lag_us) AS cd FROM lag)
+              SELECT count(*) AS n_converted,
+                     min(CASE WHEN cd >= 0.5 THEN lag_us END) AS p50_us,
+                     min(CASE WHEN cd >= 0.9 THEN lag_us END) AS p90_us,
+                     min(lag_us) AS min_us,
+                     max(lag_us) AS max_us,
+                     round(avg(lag_us), 6) AS avg_us
+              FROM cd""")),
+
     // Statistical mode per group, deterministic: count + window top-1 with
     // an explicit value tie-break (engine-native mode() functions break
     // ties arbitrarily — ungradeable and irreproducible). Count is a

@@ -246,7 +246,61 @@ object Inference {
       Some(s"""$full
                SELECT vec_id, label, pred, score FROM preds
                WHERE pred <> label
-               ORDER BY score DESC, vec_id LIMIT 20"""))
+               ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    // ROC AUC by rank-sum (Mann-Whitney U): AUC = (Σ ranks of positives −
+    // nPos(nPos+1)/2) / (nPos·nNeg), with AVERAGE ranks for ties. Written
+    // for bit-determinism: the average rank of a tie group is
+    // (min_rn + max_rn)/2, so we keep 2·rank = min_rn + max_rn as an exact
+    // BIGINT per distinct score, sum INTEGERS, and perform exactly one
+    // float division at the end — no order-dependent float accumulation
+    // anywhere, so both engines agree to the bit before the final round.
+    // Tie-safe by construction: every row of a tie group carries the same
+    // r2, so row_number's arbitrary order within ties cannot leak out.
+    // Scale: exact AUC requires a total order on scores; the global sort is
+    // distributed (range partition), but row_number's single-partition
+    // window is the honest bottleneck — at 100 TB swap it for the two-pass
+    // bucketed rank demonstrated in win_rank_scalable (Windows.scala); the
+    // declared query states the semantics at eval grain (scored eval sets
+    // are sampled, orders of magnitude smaller than the corpus).
+    Spec("eval_auc",
+      (s, d) => {
+        val sc = t(s, d, "embeddings")
+          .select(element_at(col("embedding"), 1).cast("double").as("score"),
+            when(col("label") === 1, 1L).otherwise(0L).as("y"))
+        val rk = sc.withColumn("rn",
+          row_number().over(Window.orderBy("score")).cast("long"))
+        val ar = rk.groupBy("score").agg((min("rn") + max("rn")).as("r2"))
+        rk.join(ar, "score")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+            sum(when(col("y") === 1, col("r2")).otherwise(0L)).as("sum_r2"))
+          .select(col("n_pos"),
+            round(((col("sum_r2").cast("double") / 2.0) -
+              (col("n_pos") * (col("n_pos") + 1)).cast("double") / 2.0) /
+              (col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6)
+              .as("auc"))
+      },
+      Some("""WITH s AS (
+                SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                       CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+                FROM embeddings),
+              rk AS (
+                SELECT score, y,
+                       row_number() OVER (ORDER BY score) AS rn FROM s),
+              ar AS (
+                SELECT score, min(rn) + max(rn) AS r2
+                FROM rk GROUP BY score),
+              ag AS (
+                SELECT count(*) AS n,
+                       CAST(sum(y) AS BIGINT) AS n_pos,
+                       CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                         AS sum_r2
+                FROM rk JOIN ar ON rk.score = ar.score)
+              SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                     round((CAST(sum_r2 AS DOUBLE) / 2.0 -
+                            CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+                           CAST(n_pos * (n - n_pos) AS DOUBLE), 6) AS auc
+              FROM ag"""))
   )
 
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
