@@ -219,6 +219,36 @@ object Aggs {
                 true AS within_5pct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // approx_percentile under the same invariant-oracle convention as
+    // agg_approx_distinct: the sketch value itself is merge-order
+    // dependent (GK summaries), so the DECLARED output is the exact RANK
+    // GUARANTEE, not the value — the true cume fraction at the estimate
+    // must sit within ±5% of the requested 0.5 (accuracy 1000 bounds rank
+    // error at 1/1000; 5% is generous armor over it). Scale shape: the
+    // sketch aggregate is the mergeable two-phase path (partials merge
+    // associatively — the whole point of GK at 100 TB); the verification
+    // join broadcasts 5 tiny (event_type, estimate) rows back over the
+    // fact, and the exact rank check is one more hash aggregate.
+    // events.value is null-free at every sf (count(*) = count(value)).
+    Spec("agg_approx_percentile",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val ap = e.groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("a"),
+            count(lit(1)).as("n"))
+        e.join(broadcast(ap), "event_type")
+          .groupBy("event_type")
+          .agg(first("n").as("n_rows"),
+            sum(when(col("value") <= col("a"), 1L).otherwise(0L)).as("le"))
+          .select(col("event_type"), col("n_rows"),
+            (col("le").cast("double") / col("n_rows").cast("double") >= 0.45 &&
+             col("le").cast("double") / col("n_rows").cast("double") <= 0.55)
+              .as("rank_within_5pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_rows, true AS rank_within_5pct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Correlation / covariance — the bivariate-statistics family, computed
     // the DETERMINISTIC distributed way: the five co-moment sums are exact
     // decimal aggregates (order-free, like msum), each cast once to double,

@@ -47,6 +47,35 @@ object Fns {
                 split_part(c_name, '#', 2) AS num_part
               FROM customer ORDER BY c_custkey""")),
 
+    // Second string tranche — the positional/codepoint family both
+    // engines share exactly (initcap and overlay exist only on the Spark
+    // side, so they stay out of the oracle surface): translate, repeat,
+    // reverse, 1-based instr/strpos, left/right, ascii, chr. All
+    // codegen'd element-wise expressions, zero shuffle.
+    Spec("fn_string2",
+      (s, d) => t(s, d, "nation")
+        .select(
+          col("n_nationkey"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
+          expr("repeat(n_name, 2)").as("rep"),
+          reverse(col("n_name")).as("rev"),
+          instr(col("n_name"), "AN").cast("long").as("pos_an"),
+          expr("left(n_name, 3)").as("l3"),
+          expr("right(n_name, 3)").as("r3"),
+          ascii(col("n_name")).cast("long").as("first_code"),
+          expr("char(n_nationkey + 65)").as("key_char"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+                translate(n_name, 'AEIOU', 'aeiou') AS tr,
+                repeat(n_name, 2) AS rep,
+                reverse(n_name) AS rev,
+                CAST(strpos(n_name, 'AN') AS BIGINT) AS pos_an,
+                left(n_name, 3) AS l3,
+                right(n_name, 3) AS r3,
+                CAST(ascii(n_name) AS BIGINT) AS first_code,
+                chr(n_nationkey + 65) AS key_char
+              FROM nation ORDER BY n_nationkey""")),
+
     Spec("fn_regex",
       (s, d) => t(s, d, "part")
         .where(col("p_type").rlike("^(PROMO|SMALL)"))

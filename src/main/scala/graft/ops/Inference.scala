@@ -300,7 +300,55 @@ object Inference {
                      round((CAST(sum_r2 AS DOUBLE) / 2.0 -
                             CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
                            CAST(n_pos * (n - n_pos) AS DOUBLE), 6) AS auc
-              FROM ag"""))
+              FROM ag""")),
+
+    // Precision/recall threshold sweep — eval_auc's operational twin: at
+    // which score cutoff does the classifier ship? A 5-literal threshold
+    // array is exploded against the scored rows (generate, NOT a
+    // cartesian plan), then one hash aggregate per threshold over exact
+    // integer TP/FP counts; precision and recall are each a single
+    // division of exact integers (NULL-guarded when a cutoff predicts
+    // nothing positive), so both engines agree to the bit before round.
+    // Scale: one pass over the eval set, 5× fan-out, aggregate keyed on
+    // 5 thresholds — map-side partials absorb nearly everything.
+    Spec("eval_pr_curve",
+      (s, d) => {
+        val sc = t(s, d, "embeddings")
+          .select(element_at(col("embedding"), 1).cast("double").as("score"),
+            when(col("label") === 1, 1L).otherwise(0L).as("y"))
+        sc.select(col("score"), col("y"),
+            explode(array(Seq(-0.2, -0.1, 0.0, 0.1, 0.2).map(lit): _*)).as("th"))
+          .groupBy("th")
+          .agg(sum(when(col("score") >= col("th"), col("y")).otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("th"), lit(1L) - col("y")).otherwise(0L)).as("fp"),
+            sum(col("y")).as("pos"))
+          .select(col("th"), col("tp"), col("fp"),
+            round(col("tp").cast("double") /
+              when(col("tp") + col("fp") > 0,
+                (col("tp") + col("fp")).cast("double")), 6).as("prec"),
+            round(col("tp").cast("double") / col("pos").cast("double"), 6)
+              .as("rec"))
+          .orderBy("th")
+      },
+      Some("""WITH s AS (
+                SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                       CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+                FROM embeddings),
+              th AS (SELECT unnest([-0.2, -0.1, 0.0, 0.1, 0.2]) AS th),
+              ag AS (
+                SELECT th,
+                  CAST(sum(CASE WHEN score >= th THEN y ELSE 0 END) AS BIGINT)
+                    AS tp,
+                  CAST(sum(CASE WHEN score >= th THEN 1 - y ELSE 0 END)
+                    AS BIGINT) AS fp,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM s CROSS JOIN th GROUP BY th)
+              SELECT th, tp, fp,
+                round(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+                  AS prec,
+                round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS rec
+              FROM ag ORDER BY th"""))
   )
 
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
