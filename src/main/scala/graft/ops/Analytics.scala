@@ -480,6 +480,60 @@ object Analytics {
                      round(avg(lag_us), 6) AS avg_us
               FROM cd""")),
 
+    // Session-grain engagement summary — the aggregate layer over
+    // win_sessionize's island construction (identical gap rule, 5 min on
+    // exact integer microseconds): per user, how many sessions, how long,
+    // how dense. Every output is an exact integer or a single division
+    // of exact integers. Scale: the brk/grp windows, the session
+    // aggregate, and the user rollup all key on user_id — one shuffle
+    // carried through three stages; session count is bounded by events
+    // per user, never corpus-wide.
+    Spec("evt_session_stats",
+      (s, d) => {
+        val gapUs = 300000000L
+        val e = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("brk",
+            when(lag("tus", 1).over(w).isNull ||
+              col("tus") - lag("tus", 1).over(w) >= gapUs, 1).otherwise(0))
+          .withColumn("grp", sum("brk").over(run))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("n"), (max("tus") - min("tus")).as("dur_us"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n").as("n_events"),
+            max("n").as("max_len"),
+            sum("dur_us").as("total_dur_us"),
+            round(sum("n").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("avg_len"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+              dif AS (
+                SELECT user_id, tus,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+              g AS (
+                SELECT user_id, tus,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM dif),
+              sess AS (
+                SELECT user_id, grp, count(*) AS n,
+                       max(tus) - min(tus) AS dur_us
+                FROM g GROUP BY user_id, grp)
+              SELECT user_id, count(*) AS n_sessions,
+                     CAST(sum(n) AS BIGINT) AS n_events,
+                     CAST(max(n) AS BIGINT) AS max_len,
+                     CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+                     round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                       AS avg_len
+              FROM sess GROUP BY user_id ORDER BY user_id""")),
+
     // Statistical mode per group, deterministic: count + window top-1 with
     // an explicit value tie-break (engine-native mode() functions break
     // ties arbitrarily — ungradeable and irreproducible). Count is a

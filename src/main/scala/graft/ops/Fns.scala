@@ -155,6 +155,50 @@ object Fns {
               FROM lineitem
               ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, absd, disc_sign""")),
 
+    // Second math tranche — trig/inverse-trig/log bases both engines
+    // share (sinh/cosh/tanh are Spark-only, left out of the oracle
+    // surface). Inputs are exact doubles by construction (quarter-step
+    // multiples, exact /8 divisions), every libm output rounded to 6
+    // places per the Fns convention (libm sin/cos/atan are not
+    // correctly-rounded; 1-ulp variance is real across platforms).
+    // factorial is exact integer on both sides (DuckDB widens to
+    // HUGEINT — cast back). Element-wise codegen, zero shuffle.
+    Spec("fn_math2",
+      (s, d) => {
+        val x = col("n_nationkey") * lit(0.25) - lit(3.0)
+        t(s, d, "nation")
+          .select(col("n_nationkey"),
+            round(sin(x), 6).as("sin_x"),
+            round(cos(x), 6).as("cos_x"),
+            round(tan(x), 6).as("tan_x"),
+            round(atan(x), 6).as("atan_x"),
+            round(atan2(x, lit(2.0)), 6).as("atan2_x"),
+            round(asin(x / 8), 6).as("asin_x8"),
+            round(acos(x / 8), 6).as("acos_x8"),
+            round(degrees(x), 6).as("deg_x"),
+            round(radians(col("n_nationkey")), 6).as("rad_k"),
+            round(cbrt(x + 4), 6).as("cbrt_x4"),
+            factorial(col("n_nationkey") % 10).as("fact_k"),
+            round(log2(col("n_nationkey") + 1), 6).as("log2_k"),
+            round(log10(col("n_nationkey") + 1), 6).as("log10_k"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+                round(sin(n_nationkey * 0.25 - 3.0), 6) AS sin_x,
+                round(cos(n_nationkey * 0.25 - 3.0), 6) AS cos_x,
+                round(tan(n_nationkey * 0.25 - 3.0), 6) AS tan_x,
+                round(atan(n_nationkey * 0.25 - 3.0), 6) AS atan_x,
+                round(atan2(n_nationkey * 0.25 - 3.0, 2.0), 6) AS atan2_x,
+                round(asin((n_nationkey * 0.25 - 3.0) / 8), 6) AS asin_x8,
+                round(acos((n_nationkey * 0.25 - 3.0) / 8), 6) AS acos_x8,
+                round(degrees(n_nationkey * 0.25 - 3.0), 6) AS deg_x,
+                round(radians(n_nationkey), 6) AS rad_k,
+                round(cbrt(n_nationkey * 0.25 + 1.0), 6) AS cbrt_x4,
+                CAST(factorial(n_nationkey % 10) AS BIGINT) AS fact_k,
+                round(log2(n_nationkey + 1), 6) AS log2_k,
+                round(log10(n_nationkey + 1), 6) AS log10_k
+              FROM nation ORDER BY n_nationkey""")),
+
     Spec("fn_conditional",
       (s, d) => t(s, d, "orders")
         .select(

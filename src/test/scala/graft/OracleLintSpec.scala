@@ -45,6 +45,8 @@ class OracleLintSpec extends AnyFunSuite {
       "running break-sum is the session GROUP BY key, never emitted"),
     ("win_sessionize", "sum(brk)",
       "running break-sum is the session GROUP BY key, never emitted"),
+    ("evt_session_stats", "sum(brk)",
+      "running break-sum is the session GROUP BY key, never emitted"),
     ("text_repetition", "sum(cnt)",
       "bigram total consumed by a double ratio, never emitted"))
 
