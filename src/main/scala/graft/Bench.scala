@@ -32,7 +32,10 @@ object Bench {
     // MLlib MinHashLSH fit + per-side transform fixed pipeline cost
     "dedup_minhash_lsh",
     // WITH RECURSIVE iterative-execution fixed cost (one job per step)
-    "sql_recursive_cte")
+    "sql_recursive_cte",
+    // ten fixed PageRank rounds: per-round job + localCheckpoint overhead
+    // dominates on the tiny contracted graph (same class as cc_labelprop)
+    "graph_pagerank")
 
   /** Host-load sentinel: (load average, cumulative GC ms, spin ms).
     * The spin is a fixed single-threaded 200M-add loop (~0.1 s unloaded,

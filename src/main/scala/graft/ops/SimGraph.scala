@@ -147,6 +147,106 @@ object SimGraph {
                              JOIN se ac ON ac.sa = ab.sa AND ac.sb = bc.sb)
                    AS n_triangles""")),
 
+    // PageRank (10 damped iterations, d=0.85) on the CONTRACTED set graph
+    // — "which documents sit at the center of the near-dup mesh", the
+    // centrality signal a dedup triage report ranks clusters by. The
+    // iterative sum is the classic determinism trap: floating-point
+    // contributions merge in partition order. Here every per-node
+    // contribution is floor-scaled to an exact BIGINT (floor(rank/deg ·
+    // 1e12)) before summing — long sums are exact and order-free — and
+    // the rank update is a fixed IEEE dag on those exact sums, so ranks
+    // are bit-identical across engines and partitionings WITHOUT
+    // rounding, through all ten iterations (the agg_corr_covar / zscore
+    // discipline applied to an iterative algorithm). Dangling/isolated
+    // nodes keep the teleport term only (no redistribution — documented
+    // mass leak, same choice both sides). Scale: O(E) join + hash-agg
+    // per iteration on the contracted graph, width sized to it
+    // (cc_labelprop idiom), lineage truncated per round via
+    // localCheckpoint. The oracle unrolls the ten iterations as chained
+    // CTEs over the same exact-Jaccard edge relation.
+    Spec("graph_pagerank",
+      (s, d) => {
+        val setPairs = LlmOps.minhashSetPairs(s, d)
+        val e2 = setPairs.select(col("sa").as("src"), col("sb").as("dst"))
+          .unionByName(setPairs.select(col("sb").as("src"), col("sa").as("dst")))
+          .localCheckpoint()
+        val p = math.max(1, math.min(32, (e2.count() / 500000L).toInt))
+        val edges = e2.repartition(p).localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = LlmOps.tokenSetGroups(s, d).select("set_id").repartition(p)
+        val nn = nodes.agg(count(lit(1)).as("nn"))
+        var pr = nodes.crossJoin(broadcast(nn))
+          .select(col("set_id"),
+            (lit(1.0) / col("nn").cast("double")).as("rank"), col("nn"))
+          .localCheckpoint()
+        for (_ <- 1 to 10) {
+          val contrib = pr.join(edges, pr("set_id") === edges("src"))
+            .join(deg, "src")
+            .select(col("dst"),
+              floor(col("rank") / col("deg").cast("double") * lit(1e12))
+                .cast("long").as("c"))
+            .groupBy("dst").agg(sum("c").as("sc"))
+          pr = pr.select("set_id", "nn")
+            .join(contrib.withColumnRenamed("dst", "set_id"),
+              Seq("set_id"), "left")
+            .select(col("set_id"),
+              (lit(0.15) / col("nn").cast("double") +
+                lit(0.85) * (coalesce(col("sc"), lit(0L)).cast("double") /
+                  lit(1e12))).as("rank"),
+              col("nn"))
+            .localCheckpoint()
+        }
+        pr.select(col("set_id"), col("rank"))
+          .orderBy(desc("rank"), asc("set_id")).limit(20)
+      },
+      Some {
+        val iters = (1 to 10).map { k =>
+          s"""pr$k AS (
+             SELECT n.set_id,
+               CAST(0.15 AS DOUBLE) / (SELECT CAST(nn AS DOUBLE) FROM nn) +
+               CAST(0.85 AS DOUBLE) *
+                 (CAST(coalesce(c.sc, 0) AS DOUBLE) / 1e12) AS rank
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS set_id,
+                 CAST(sum(CAST(floor(p.rank / CAST(d.deg AS DOUBLE) * 1e12)
+                   AS BIGINT)) AS BIGINT) AS sc
+               FROM pr${k - 1} p
+                 JOIN e2 e ON p.set_id = e.src
+                 JOIN deg d ON d.src = e.src
+               GROUP BY e.dst) c ON n.set_id = c.set_id)"""
+        }.mkString(",\n")
+        s"""WITH sets AS (
+              SELECT min(doc_id) AS set_id,
+                list_sort(list_distinct(string_split(text, ' '))) AS ts
+              FROM documents
+              GROUP BY list_sort(list_distinct(string_split(text, ' ')))),
+            stk AS (SELECT set_id, unnest(ts) AS token FROM sets),
+            ssz AS (SELECT set_id, count(*) AS nt FROM stk GROUP BY set_id),
+            sp AS (
+              SELECT a.set_id AS sa, b.set_id AS sb, count(*) AS inter
+              FROM stk a JOIN stk b
+                ON a.token = b.token AND a.set_id < b.set_id
+              GROUP BY a.set_id, b.set_id),
+            se AS (
+              SELECT sa, sb FROM sp
+                JOIN ssz za ON sa = za.set_id
+                JOIN ssz zb ON sb = zb.set_id
+              WHERE CAST(inter AS DOUBLE) / (za.nt + zb.nt - inter) >= 0.9),
+            e2 AS (SELECT sa AS src, sb AS dst FROM se
+                   UNION ALL SELECT sb AS src, sa AS dst FROM se),
+            deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+            nodes AS (SELECT set_id FROM sets),
+            nn AS (SELECT count(*) AS nn FROM nodes),
+            pr0 AS (
+              SELECT set_id,
+                CAST(1.0 AS DOUBLE) / (SELECT CAST(nn AS DOUBLE) FROM nn)
+                  AS rank
+              FROM nodes),
+            $iters
+            SELECT set_id, rank FROM pr10
+            ORDER BY rank DESC, set_id LIMIT 20"""
+      }),
+
     // ------------------------------------------------------ similarity
     Spec("sim_cosine_topk",
       (s, d) => {
