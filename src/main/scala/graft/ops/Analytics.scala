@@ -69,6 +69,59 @@ object Analytics {
                      CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS total_lag_us
               FROM per LEFT JOIN pa ON per.user_id = pa.user_id""")),
 
+    // Windowed 3-step funnel — evt_funnel upgraded to how funnels are
+    // actually specified: strictly ordered view → click → purchase with a
+    // 48-hour CONVERSION WINDOW on each step (an unbounded funnel counts
+    // a purchase weeks later as "converted"). Each step is one
+    // conditional-min aggregate joined back to the prior step's
+    // timestamp; per-step lag sums stay exact integer µs. Scale: three
+    // user-keyed hash aggregates + broadcast-friendly joins — no windows,
+    // no per-user state beyond the group row.
+    Spec("evt_funnel_windowed",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val v = e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+        val c = e.join(v, "user_id")
+          .where(col("event_type") === "click" && col("ts") >= col("v_ts") &&
+            col("ts") <= col("v_ts") + expr("INTERVAL 48 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = e.join(c, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") >= col("c_ts") &&
+            col("ts") <= col("c_ts") + expr("INTERVAL 48 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_users"), count(col("v_ts")).as("n_viewed"),
+            count(col("c_ts")).as("n_clicked"),
+            count(col("p_ts")).as("n_purchased"),
+            sum(unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .cast("long").as("total_vc_us"),
+            sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+              .cast("long").as("total_cp_us"))
+      },
+      Some("""WITH v AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+                FROM events GROUP BY user_id),
+              c AS (
+                SELECT e.user_id, min(e.ts) AS c_ts
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+                  AND e.ts <= v.v_ts + INTERVAL 48 HOUR
+                GROUP BY e.user_id),
+              p AS (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+                  AND e.ts <= c.c_ts + INTERVAL 48 HOUR
+                GROUP BY e.user_id)
+              SELECT count(*) AS n_users, count(v_ts) AS n_viewed,
+                count(c_ts) AS n_clicked, count(p_ts) AS n_purchased,
+                CAST(sum(epoch_us(c_ts) - epoch_us(v_ts)) AS BIGINT) AS total_vc_us,
+                CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS total_cp_us
+              FROM v LEFT JOIN c ON v.user_id = c.user_id
+                     LEFT JOIN p ON v.user_id = p.user_id""")),
+
     // Weekly cohort retention: cohort = a user's first active epoch-week;
     // cells count distinct users active at each week offset. Epoch-day
     // arithmetic (not date_trunc) so both engines bucket identically.
@@ -385,6 +438,171 @@ object Analytics {
                   THEN (n - sx / k) / sqrt((sxx - sx * sx / k) / (k - 1))
                 END AS z
               FROM win ORDER BY event_type, day""")),
+
+    // Rolling 14-day OLS trend slope per event type — the zscore row's
+    // direction-of-drift sibling (is volume ramping up or decaying?).
+    // Strictly stronger determinism than zscore: x (epoch day) and y
+    // (count) are BIGINTs, so ALL five window sufficient statistics
+    // (k, Σx, Σy, Σxy, Σx²) stay exact integers, the slope numerator and
+    // denominator are computed in exact integer arithmetic, and the ONLY
+    // float op is the final division — bit-identical by construction with
+    // no rounding convention needed (rounded anyway for display parity).
+    // Scale: one hash-agg to day grain, then an O(1)-state window per
+    // event_type.
+    Spec("win_rolling_slope",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-13, 0)
+        daily
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("day")).over(w))
+          .withColumn("sy", sum(col("n")).over(w))
+          .withColumn("sxy", sum(col("day") * col("n")).over(w))
+          .withColumn("sxx", sum(col("day") * col("day")).over(w))
+          .select(col("event_type"), col("day"), col("n"),
+            when(col("k") * col("sxx") - col("sx") * col("sx") =!= 0L,
+              round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+              .as("slope"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT event_type, day, n,
+                  CAST(count(*) OVER w AS BIGINT) AS k,
+                  CAST(sum(day) OVER w AS BIGINT) AS sx,
+                  CAST(sum(n) OVER w AS BIGINT) AS sy,
+                  CAST(sum(day * n) OVER w AS BIGINT) AS sxy,
+                  CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              SELECT event_type, day, n,
+                CASE WHEN k * sxx - sx * sx <> 0
+                  THEN round(CAST(k * sxy - sx * sy AS DOUBLE) /
+                             CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS slope
+              FROM win ORDER BY event_type, day""")),
+
+    // Day-over-day percentage change per event type — the dashboard
+    // companion of the slope row: integer daily counts, one lag, ONE
+    // division (first row NULL on both engines). O(1) window state.
+    Spec("win_pct_change",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .select(col("event_type"), col("day"), col("n"),
+            round((col("n").cast("double") -
+              lag("n", 1).over(w).cast("double")) /
+              lag("n", 1).over(w).cast("double"), 6).as("pct_change"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, day, n,
+                round((CAST(n AS DOUBLE) - CAST(lag(n) OVER w AS DOUBLE)) /
+                      CAST(lag(n) OVER w AS DOUBLE), 6) AS pct_change
+              FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+              ORDER BY event_type, day""")),
+
+    // DAU / trailing-7-day-WAU stickiness ratio — the engagement KPI.
+    // WAU-per-day reuses evt_wau_rolling's covering-window explode (a
+    // user active on day d is "covered" for days d..d+6), which is the
+    // scalable distinct-over-range shape: no per-day re-scan, one
+    // explode + two hash aggregates, distinct at (user, day) grain first
+    // so the explode is bounded by active-user-days × 7.
+    Spec("evt_stickiness",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("n_dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + lit(6L))).as("wday"))
+          .groupBy(col("wday").as("day"))
+          .agg(countDistinct(col("user_id")).as("n_wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("n_dau"), col("n_wau"),
+            round(col("n_dau").cast("double") / col("n_wau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events),
+              dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY day),
+              cover AS (
+                SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+                FROM ud),
+              wau AS (
+                SELECT wday AS day, count(DISTINCT user_id) AS n_wau
+                FROM cover GROUP BY wday)
+              SELECT d.day, d.n_dau, w.n_wau,
+                round(CAST(d.n_dau AS DOUBLE) / CAST(w.n_wau AS DOUBLE), 6)
+                  AS stickiness
+              FROM dau d JOIN wau w ON d.day = w.day
+              ORDER BY d.day""")),
+
+    // Top-20 three-step event paths — sequence mining lite ("what do
+    // users actually do?"). Two leads over the per-user time order give
+    // every consecutive triple in one window pass; the path-grain count
+    // is a plain hash aggregate and the top-20 a TakeOrderedAndProject
+    // (count DESC, path ASC tiebreak so the cut line is deterministic).
+    // Scale: the window is per-user (no global sort); paths cardinality
+    // is |event_types|³ — tiny.
+    Spec("evt_path_analysis",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("e2", lead("event_type", 1).over(w))
+          .withColumn("e3", lead("event_type", 2).over(w))
+          .where(col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("path")).limit(20)
+      },
+      Some("""WITH seq AS (
+                SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                count(*) AS n
+              FROM seq WHERE e3 IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    // SELECT * EXCEPT — the wide-table projection sugar (Spark 4 spells
+    // it EXCEPT, DuckDB EXCLUDE; the 100 TB relevance is that the
+    // resolved projection still drives parquet column pruning exactly as
+    // an explicit column list would).
+    Spec("sql_star_except",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT * EXCEPT (o_orderpriority, o_orderstatus)
+                 FROM orders ORDER BY o_orderkey""")
+      },
+      Some("""SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+              FROM orders ORDER BY o_orderkey""")),
 
     // Gaps-and-islands: longest consecutive-active-day streak per user —
     // the classic engagement metric, and the canonical island pattern
@@ -873,6 +1091,78 @@ object Analytics {
               WINDOW w AS (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey)
               ORDER BY o_custkey, rn""")),
+
+    // DISTINCT ON — "latest order per customer", the row-per-key sugar
+    // DuckDB/Postgres users reach for daily. Spark has no DISTINCT ON;
+    // the Spark-first re-expression is the row_number()=1 window (one
+    // shuffle+sort per key, and at 100 TB WindowGroupLimit pushes the
+    // rank-1 filter below the shuffle so only each partition's best rows
+    // move). Ties broken deterministically by o_orderkey DESC on both
+    // sides.
+    Spec("sql_distinct_on",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+                FROM orders
+                ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+              ORDER BY o_custkey""")),
+
+    // QUALIFY — filter on a window function without a subquery (DuckDB /
+    // Snowflake sugar; top-2 orders per customer by price). Spark lacks
+    // the keyword, so the Spark side is the desugared subquery-filter —
+    // which is exactly what QUALIFY compiles to — and Catalyst's
+    // WindowGroupLimit again keeps only each group's top rows below the
+    // shuffle. Same desugaring lesson as sql_pipe_syntax: sugar is
+    // text-level, the plan is identical.
+    Spec("sql_qualify",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                   SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                   FROM orders)
+                 WHERE rk <= 2
+                 ORDER BY o_custkey, rk""")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+              QUALIFY rk <= 2
+              ORDER BY o_custkey, rk""")),
+
+    // Inline VALUES relation — the zero-IO dimension join (tier mapping
+    // authored in the query text). Both engines treat it as a constant
+    // local relation; Spark folds it before planning so the join
+    // broadcast is free. The SQL is identical modulo the FROM-clause
+    // VALUES spelling.
+    Spec("sql_values_inline",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT t.tier, count(*) AS n,
+                   count(DISTINCT n_nationkey) AS n_nations
+                 FROM nation
+                 JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'mid'),
+                              (3, 'high'), (4, 'high')) AS t(rk, tier)
+                   ON n_regionkey = t.rk
+                 GROUP BY t.tier ORDER BY t.tier""")
+      },
+      Some("""SELECT t.tier, count(*) AS n,
+                count(DISTINCT n_nationkey) AS n_nations
+              FROM nation
+              JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'mid'),
+                           (3, 'high'), (4, 'high')) t(rk, tier)
+                ON n_regionkey = t.rk
+              GROUP BY t.tier ORDER BY t.tier""")),
 
     // ANSI-safe casting: try_cast returns NULL on malformed input instead
     // of failing the job — the semantics a 100 TB dirty-text pipeline

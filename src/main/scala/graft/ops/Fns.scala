@@ -130,6 +130,56 @@ object Fns {
                 epoch_us(date_trunc('hour', ts)) AS hour_us
               FROM events ORDER BY event_id""")),
 
+    // INTERVAL literal arithmetic — timestamp + sub-day interval, date +
+    // calendar-month interval (both engines CLAMP the day-of-month:
+    // Jan 31 + 1 month = Feb 28/29 — asserted by value equality over all
+    // orders), and day-difference to a fixed horizon. DuckDB's
+    // date+month yields a TIMESTAMP while Spark yields DATE, so both
+    // sides cast the result to DATE before the string projection — the
+    // semantic (clamped calendar month) is what's compared, not the
+    // engine's return type.
+    Spec("fn_interval",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(o_orderdate + INTERVAL '90' MINUTE AS STRING)").as("plus_90m"),
+          expr("CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL '1' MONTH AS DATE) AS STRING)")
+            .as("plus_1mo"),
+          expr("CAST(datediff(DATE '2001-12-31', CAST(o_orderdate AS DATE)) AS BIGINT)")
+            .as("days_to_end"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(o_orderdate + INTERVAL 90 MINUTE AS VARCHAR) AS plus_90m,
+                CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1mo,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS BIGINT) AS days_to_end
+              FROM orders ORDER BY o_orderkey""")),
+
+    // DECIMAL scale-propagation arithmetic — the exact-money algebra
+    // behind msum, surfaced as its own operator: DECIMAL(12,2) ×
+    // DECIMAL(12,2) widens to an exact product type, (1 - discount) at
+    // scale 3 multiplies into scale 5, and each group's sum is EXACT
+    // (order-free) until the single final cast to double — the pattern a
+    // revenue pipeline must use at 100 TB where a double sum drifts with
+    // partitioning.
+    Spec("fn_decimal_exact",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_quantity").cast("decimal(12,2)"))
+            .cast("double").as("sum_prod"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal(1.0)).cast("decimal(3,2)") -
+              col("l_discount").cast("decimal(4,3)")))
+            .cast("double").as("sum_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_prod,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1.0 AS DECIMAL(3,2)) -
+                          CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Spec("fn_math",
       (s, d) => t(s, d, "lineitem")
         .select(

@@ -348,7 +348,42 @@ object Inference {
                   THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
                   AS prec,
                 round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS rec
-              FROM ag ORDER BY th"""))
+              FROM ag ORDER BY th""")),
+
+    // Calibration / reliability table — eval_auc's diagnostic sibling:
+    // does a higher score actually mean a higher empirical positive rate?
+    // Scores are cut into deciles by ntile over a TOTALLY ordered key
+    // (score, vec_id — ties must land deterministically for the bin
+    // populations to match across engines); each bin reports only exact
+    // integers, raw min/max score endpoints, and ONE division — zero
+    // float accumulation, the eval_auc discipline. The global-order
+    // window is single-partition here (bounded |embeddings| model-eval
+    // set); an unbounded corpus would assign bins via the two-pass
+    // range-partitioned rank of win_rank_scalable instead.
+    Spec("eval_calibration",
+      (s, d) => {
+        val sc = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("score"),
+            when(col("label") === 1, 1L).otherwise(0L).as("y"))
+        sc.withColumn("bin", ntile(10).over(Window.orderBy("score", "vec_id")))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+            round(sum("y").cast("double") / count(lit(1)), 6).as("pos_rate"),
+            min("score").as("lo_score"), max("score").as("hi_score"))
+          .orderBy("bin")
+      },
+      Some("""WITH s AS (
+                SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+                       CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+                FROM embeddings),
+              b AS (
+                SELECT *, ntile(10) OVER (ORDER BY score, vec_id) AS bin
+                FROM s)
+              SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+                round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+                min(score) AS lo_score, max(score) AS hi_score
+              FROM b GROUP BY bin ORDER BY bin"""))
   )
 
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =

@@ -234,6 +234,64 @@ object Joins {
                FROM events JOIN bands ON value >= lo AND value < hi
                GROUP BY band_id ORDER BY band_id""")),
 
+    // INTERVAL-OVERLAP join — both sides are intervals (user-day activity
+    // sessions × campaign windows), predicate `a.lo <= b.hi AND b.lo <=
+    // a.hi`. Like the pure range join this is BroadcastNestedLoopJoin
+    // territory; the scale shape generalizes the binning trick to TWO
+    // exploded sides: each interval replicates into the fixed-width time
+    // bins it covers, the join is bin EQUALITY (hash, AQE-planned), the
+    // exact overlap predicate filters, and a distinct on the pair key
+    // dedups multi-bin matches before the final aggregate. Bin width (6 h)
+    // ~ the short side's span so replication stays O(1) per interval.
+    Spec("join_interval_overlap",
+      (s, d) => {
+        import s.implicits._
+        val sess = t(s, d, "events")
+          .groupBy(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(min(col("ts")).as("s_lo"), max(col("ts")).as("s_hi"))
+        val camp = Seq(
+          (0, "2024-01-03 12:00:00", "2024-01-05 00:00:00"),
+          (1, "2024-01-08 00:00:00", "2024-01-09 00:00:00"),
+          (2, "2024-01-12 06:00:00", "2024-01-12 18:00:00"),
+          (3, "2024-01-15 00:00:00", "2024-01-18 00:00:00"),
+          (4, "2024-01-20 20:00:00", "2024-01-21 04:00:00"),
+          (5, "2024-01-28 00:00:00", "2024-01-30 00:00:00"))
+          .toDF("camp_id", "lo_s", "hi_s")
+          .select(col("camp_id"), to_timestamp(col("lo_s")).as("c_lo"),
+            to_timestamp(col("hi_s")).as("c_hi"))
+        val binUs = 6L * 3600L * 1000000L
+        val sessB = sess.withColumn("bin", explode(sequence(
+          expr(s"unix_micros(s_lo) div $binUs"),
+          expr(s"unix_micros(s_hi) div $binUs"))))
+        val campB = camp.withColumn("bin", explode(sequence(
+          expr(s"unix_micros(c_lo) div $binUs"),
+          expr(s"unix_micros(c_hi) div $binUs"))))
+        sessB.join(campB, "bin")
+          .where(col("s_lo") <= col("c_hi") && col("c_lo") <= col("s_hi"))
+          .select("camp_id", "user_id", "day").distinct()
+          .groupBy("camp_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("camp_id")
+      },
+      Some("""WITH sess AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  min(ts) AS s_lo, max(ts) AS s_hi
+                FROM events GROUP BY 1, 2),
+              camp(camp_id, c_lo, c_hi) AS (VALUES
+                (0, TIMESTAMP '2024-01-03 12:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+                (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-09 00:00:00'),
+                (2, TIMESTAMP '2024-01-12 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
+                (3, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-18 00:00:00'),
+                (4, TIMESTAMP '2024-01-20 20:00:00', TIMESTAMP '2024-01-21 04:00:00'),
+                (5, TIMESTAMP '2024-01-28 00:00:00', TIMESTAMP '2024-01-30 00:00:00'))
+              SELECT camp_id, count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users
+              FROM sess JOIN camp ON s_lo <= c_hi AND c_lo <= s_hi
+              GROUP BY camp_id ORDER BY camp_id""")),
+
     // As-of join: per event, the latest order of customer=user_id with
     // o_orderdate <= an event-derived date. No native as-of in Spark SQL;
     // the portable shape (identical on both engines, SURVEY.md §2 C) is a
@@ -273,6 +331,50 @@ object Joins {
               SELECT event_id, user_id, CAST(ev_date AS VARCHAR) AS ev_date,
                 o_orderkey, CAST(o_date AS VARCHAR) AS o_date
               FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // As-of with a TOLERANCE bound (pandas/polars `merge_asof(...,
+    // tolerance=30d)`): the nearest earlier order counts only within 30
+    // days — a stale match is worse than no match in feature engineering.
+    // The bound also matters PHYSICALLY: it turns the unbounded
+    // (left × right≤t) candidate explosion into a band join, so the same
+    // binning trick as join_range_binned applies at 100 TB. Aggregated
+    // output (match count, users, exact integer gap-day sum) keeps the
+    // row set bounded.
+    Spec("join_asof_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("date_add(DATE '1995-01-01', CAST(floor(value * 20) AS INT))").as("ev_date"))
+        val o = t(s, d, "orders")
+        val j = ev.join(o,
+            o("o_custkey") === ev("user_id") &&
+            o("o_orderdate").cast("date") <= ev("ev_date") &&
+            o("o_orderdate").cast("date") >= date_sub(ev("ev_date"), 30))
+        val w = Window.partitionBy(ev("event_id"))
+          .orderBy(o("o_orderdate").desc, o("o_orderkey").desc)
+        j.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_matched"),
+            countDistinct(ev("user_id")).as("n_users"),
+            sum(datediff(ev("ev_date"), o("o_orderdate").cast("date")).cast("long"))
+              .as("total_gap_days"))
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id,
+                       DATE '1995-01-01' + CAST(floor(value * 20) AS INT) AS ev_date
+                FROM events),
+              j AS (
+                SELECT ev.event_id, ev.user_id, ev.ev_date,
+                       CAST(o.o_orderdate AS DATE) AS o_date,
+                       row_number() OVER (PARTITION BY ev.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM ev JOIN orders o
+                  ON o.o_custkey = ev.user_id
+                 AND CAST(o.o_orderdate AS DATE) <= ev.ev_date
+                 AND CAST(o.o_orderdate AS DATE) >= ev.ev_date - 30)
+              SELECT count(*) AS n_matched, count(DISTINCT user_id) AS n_users,
+                CAST(sum(ev_date - o_date) AS BIGINT) AS total_gap_days
+              FROM j WHERE rn = 1""")),
 
     // Same as-of semantics through the native whole-operator path
     // (graft.plans: broadcast-index or single-pass merge exec — no

@@ -258,6 +258,78 @@ object Multimodal {
                 CAST(sum((doc_id * 3 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
               FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // RESIZE — the standard image-preprocessing op (every vision model
+    // wants a fixed input grid), as nearest-neighbor down/up-sampling to
+    // 4×4 AFTER the real PNG decode. Source index sx = ⌊rx·w/4⌋ is pure
+    // integer arithmetic, so the oracle reproduces the exact sampled
+    // pixels from the image formula; channel sums of the 16 sampled
+    // texels are exact BIGINTs. Same per-partition codec session +
+    // task-completion close as mm_decode_real; at 100 TB resize runs
+    // in-executor on the decoded buffer — zero extra shuffle, output
+    // shrinks to fixed 4×4×3 per image regardless of source size.
+    Spec("mm_image_resize",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val dec = ImageIoCodec.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+            it.map { id =>
+              val w = (id % 7 + 2).toInt
+              val h = (id % 5 + 2).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+                  val g = ((id * 11 + x * 17 + y * 5) % 256).toInt
+                  val b = ((id * 3 + x * 19 + y * 23) % 256).toInt
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val px = dec.decode(bos.toByteArray, w, h, 3)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var ry = 0
+              while (ry < 4) {
+                val sy = ry * h / 4
+                var rx = 0
+                while (rx < 4) {
+                  val sx = rx * w / 4
+                  val i = (sy * w + sx) * 3
+                  sr += math.round(px(i) * 255f).toLong
+                  sg += math.round(px(i + 1) * 255f).toLong
+                  sb += math.round(px(i + 2) * 255f).toLong
+                  rx += 1
+                }
+                ry += 1
+              }
+              (id, w.toLong, h.toLong, sr, sg, sb)
+            }
+          }
+          .toDF("doc_id", "w", "h", "rs_r", "rs_g", "rs_b")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+                SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+                FROM documents),
+              cells AS (
+                SELECT doc_id, w, h,
+                  (gx.rx * w) // 4 AS x, (gy.ry * h) // 4 AS y
+                FROM dims, generate_series(0, 3) gx(rx),
+                     generate_series(0, 3) gy(ry))
+              SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                CAST(sum((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS rs_r,
+                CAST(sum((doc_id * 11 + x * 17 + y * 5) % 256) AS BIGINT) AS rs_g,
+                CAST(sum((doc_id * 3 + x * 19 + y * 23) % 256) AS BIGINT) AS rs_b
+              FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // AUDIO through the same codec seam: deterministic 16-bit PCM clips —
     // sample i of doc d is (31d+17i) mod 4096 − 2048, little-endian-packed
     // in the executors — decode through [[PcmCodec]] (the per-partition

@@ -27,13 +27,18 @@ object Rel {
     * the rewrite inside a timed query. Written to a staging dir + atomic
     * rename so a concurrent first-writer race yields one winner.
     */
-  private def partitionedEvents(s: SparkSession, d: String): DataFrame = {
-    val dest = new java.io.File(
-      s"/tmp/graft_evpart_${Integer.toHexString(d.hashCode)}")
+  /** Shared stage-plus-atomic-rename protocol for every derived cross-JVM
+    * fixture below: `write` fills a staging dir (Spark leaves a _SUCCESS
+    * marker), then one atomic rename publishes it — a concurrent
+    * first-writer race yields exactly one winner and the loser's staging
+    * dir is discarded. Returns `dest` ready to read.
+    */
+  private def stagedFixture(dest: java.io.File)(
+      write: java.io.File => Unit): java.io.File = {
     if (!new java.io.File(dest, "_SUCCESS").exists()) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_evpart_stage_").toFile
-      t(s, d, "events").write.mode("overwrite")
-        .partitionBy("event_type").parquet(stage.getPath)
+      val stage = java.nio.file.Files
+        .createTempDirectory(dest.getName + "_stage_").toFile
+      write(stage)
       try java.nio.file.Files.move(stage.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the race: a concurrent writer already populated dest
@@ -42,6 +47,15 @@ object Rel {
              _: java.nio.file.AccessDeniedException =>
           org.apache.commons.io.FileUtils.deleteQuietly(stage)
       }
+    }
+    dest
+  }
+
+  private def partitionedEvents(s: SparkSession, d: String): DataFrame = {
+    val dest = stagedFixture(new java.io.File(
+      s"/tmp/graft_evpart_${Integer.toHexString(d.hashCode)}")) { stage =>
+      t(s, d, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(stage.getPath)
     }
     s.read.parquet(dest.getPath)
   }
@@ -54,24 +68,71 @@ object Rel {
     * stage-plus-atomic-rename protocol as [[partitionedEvents]].
     */
   private def eventTypeDim(s: SparkSession): DataFrame = {
-    val dest = new java.io.File("/tmp/graft_evdim")
-    if (!new java.io.File(dest, "_SUCCESS").exists()) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_evdim_stage_").toFile
+    val dest = stagedFixture(new java.io.File("/tmp/graft_evdim")) { stage =>
       import s.implicits._
       Seq(("click", "engagement"), ("view", "engagement"),
           ("purchase", "conversion"), ("signup", "conversion"),
           ("error", "ops")).toDF("et", "category")
         .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-      try java.nio.file.Files.move(stage.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(stage)
-      }
     }
     s.read.parquet(dest.getPath)
+  }
+
+  /** Microsecond-exact timestamp text format shared by the CSV/JSON
+    * round-trip fixtures: the default writer pattern keeps only
+    * milliseconds, which would silently truncate `events.ts` (µs grain)
+    * on the way out — the classic text-source fidelity bug these two
+    * queries exist to catch.
+    */
+  private val usFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** lineitem projection written once per sf as a HEADERED CSV fixture and
+    * read back with an EXPLICIT schema (inference is a second scan and a
+    * correctness hazard at 100 TB — a single malformed row flips a column
+    * to string). Doubles round-trip exactly: Spark writes the shortest
+    * representation that re-parses to the same IEEE value. The testdata
+    * parquet stores timestamps with isAdjustedToUTC=false, so Spark reads
+    * l_shipdate as TIMESTAMP_NTZ — the text format for it is
+    * `timestampNTZFormat` (NOT `timestampFormat`, which silently applies
+    * only to the LTZ type) and the read schema must say TIMESTAMP_NTZ or
+    * every value parses to null.
+    */
+  private def csvLineitem(s: SparkSession, d: String): DataFrame = {
+    val dest = stagedFixture(new java.io.File(
+      s"/tmp/graft_csvrt_${Integer.toHexString(d.hashCode)}")) { stage =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampNTZFormat", usFmt)
+        .csv(stage.getPath)
+    }
+    s.read
+      .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_returnflag STRING, " +
+        "l_shipdate TIMESTAMP_NTZ")
+      .option("header", "true").option("timestampNTZFormat", usFmt)
+      .csv(dest.getPath)
+  }
+
+  /** events projection written once per sf as JSON-lines and read back
+    * with an explicit schema — the interchange format half of the text
+    * round trip (µs timestamps via [[usFmt]], doubles via Jackson's
+    * shortest-round-trip repr).
+    */
+  private def jsonEvents(s: SparkSession, d: String): DataFrame = {
+    val dest = stagedFixture(new java.io.File(
+      s"/tmp/graft_jsonrt_${Integer.toHexString(d.hashCode)}")) { stage =>
+      t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("overwrite").option("timestampFormat", usFmt)
+        .json(stage.getPath)
+    }
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, ts TIMESTAMP")
+      .option("timestampFormat", usFmt)
+      .json(dest.getPath)
   }
 
   val all: Seq[Spec] = Seq(
@@ -221,6 +282,43 @@ object Rel {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc")),
       Some("""SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
-              FROM documents"""))
+              FROM documents""")),
+
+    // CSV source round trip: parquet → headered CSV → explicit-schema read
+    // → aggregate, checked against the ORIGINAL parquet. Any value lost in
+    // text serialization (double shortening, µs truncation, quoting)
+    // breaks the hash — this is the ingest-format fidelity gate a real
+    // deployment runs before trusting a CSV feed. Scale: the CSV scan is
+    // splittable and embarrassingly parallel; one hash-agg shuffle.
+    Spec("scan_csv_roundtrip",
+      (s, d) => csvLineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          msum(col("l_quantity")).as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+                 ${msumSql("l_quantity")} AS sum_qty,
+                 ${msumSql("l_extendedprice")} AS sum_price,
+                 max(l_shipdate) AS max_ship
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // JSON-lines source round trip — same gate for the interchange format
+    // (schema-on-read with an explicit schema; µs timestamps preserved by
+    // the explicit writer format).
+    Spec("scan_json_roundtrip",
+      (s, d) => jsonEvents(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          msum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n,
+                 ${msumSql("value")} AS sum_value,
+                 count(DISTINCT user_id) AS n_users,
+                 max(ts) AS max_ts
+               FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
