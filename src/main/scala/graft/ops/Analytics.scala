@@ -491,6 +491,75 @@ object Analytics {
                              CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS slope
               FROM win ORDER BY event_type, day""")),
 
+    // Rolling 7-day MEDIAN of daily counts — the robust smoother a
+    // volume monitor pairs with the mean-based zscore row. Spark has no
+    // median window function; the Spark-first re-expression is
+    // collect_list over the frame → array_sort → middle element, emitted
+    // only for FULL 7-row frames so the middle is exact (odd count, no
+    // interpolation — both engines agree by construction; DuckDB's
+    // native windowed median reduces to the same element). Per-row cost
+    // is O(7 log 7) on a bounded frame — constant — and the window is
+    // per-event-type, no global sort.
+    Spec("win_rolling_median",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, 0)
+        daily
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("arr", array_sort(collect_list(col("n")).over(w)))
+          .select(col("event_type"), col("day"), col("n"),
+            when(col("k") === 7,
+              element_at(col("arr"), 4).cast("double")).as("med7"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT event_type, day, n,
+                  count(*) OVER w AS k,
+                  CAST(median(n) OVER w AS DOUBLE) AS med
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              SELECT event_type, day, n,
+                CASE WHEN k = 7 THEN med END AS med7
+              FROM win ORDER BY event_type, day""")),
+
+    // Cumulative DISTINCT count over a stream order — "how many distinct
+    // event types has this user seen so far?" A naive per-row distinct
+    // re-scan is O(n²); the scalable shape is the FIRST-OCCURRENCE trick:
+    // one window marks each (user, type)'s first row, a second running
+    // sum counts the marks — two window passes, O(1) state each, exact.
+    Spec("win_running_distinct",
+      (s, d) => {
+        val wFirst = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .select(col("user_id"), col("event_id"),
+            sum("first_seen").over(wRun).as("n_types_seen"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH marked AS (
+                SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+                FROM events)
+              SELECT user_id, event_id,
+                CAST(sum(first_seen) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS n_types_seen
+              FROM marked ORDER BY user_id, event_id""")),
+
     // Day-over-day percentage change per event type — the dashboard
     // companion of the slope row: integer daily counts, one lag, ONE
     // division (first row NULL on both engines). O(1) window state.

@@ -209,6 +209,36 @@ object LlmOps2 {
     // that over- or under-matches on either engine hash-mismatches.
     // Pure per-row codegen'd regex work — no shuffle before the
     // presentation sort, embarrassingly parallel at any corpus size.
+    // HTML tag stripping — the first pass of every web-scrape ingest
+    // (CommonCrawl-style corpora arrive as markup). Same
+    // construct-then-parse design as fn_xml/pii_scrub: deterministic
+    // markup is BUILT from the document row, stripped with the
+    // tag-pattern regexp, and the cleaned text plus tag counts are
+    // compared exactly. Corpus-linear, pure per-row regex, no shuffle
+    // before the presentation sort.
+    Spec("text_html_strip",
+      (s, d) => {
+        val h = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<p class=\"x\">"), substring(col("text"), 1, 40),
+            lit("</p><br/><b>"), col("lang"), lit("</b>")).as("html"))
+        h.select(col("doc_id"),
+            regexp_replace(col("html"), lit("<[^>]*>"), lit("")).as("clean"),
+            (length(col("html")) -
+              length(regexp_replace(col("html"), lit("<"), lit(""))))
+              .cast("long").as("n_tags"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  '<p class="x">' || substr(text, 1, 40) || '</p><br/><b>' ||
+                    lang || '</b>' AS html
+                FROM documents)
+              SELECT doc_id,
+                regexp_replace(html, '<[^>]*>', '', 'g') AS clean,
+                CAST(length(html) -
+                  length(regexp_replace(html, '<', '', 'g')) AS BIGINT) AS n_tags
+              FROM h ORDER BY doc_id""")),
+
     Spec("text_pii_scrub",
       (s, d) => {
         val aug = t(s, d, "documents").select(col("doc_id"),

@@ -304,6 +304,32 @@ object Rel {
                  max(l_shipdate) AS max_ship
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ORC source round trip — the columnar-format sibling of the CSV/JSON
+    // rows: ORC is typed (timestamps stay binary µs), so no format
+    // options are needed and the check is that the second columnar
+    // format preserves values and types bit-for-bit.
+    Spec("scan_orc_roundtrip",
+      (s, d) => {
+        val dest = stagedFixture(new java.io.File(
+          s"/tmp/graft_orcrt_${Integer.toHexString(d.hashCode)}")) { stage =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+              "o_orderdate", "o_orderpriority")
+            .write.mode("overwrite").orc(stage.getPath)
+        }
+        s.read.orc(dest.getPath)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            msum(col("o_totalprice")).as("sum_price"),
+            max(col("o_orderdate")).as("max_date"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+                 ${msumSql("o_totalprice")} AS sum_price,
+                 max(o_orderdate) AS max_date
+               FROM orders GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")),
+
     // JSON-lines source round trip — same gate for the interchange format
     // (schema-on-read with an explicit schema; µs timestamps preserved by
     // the explicit writer format).
