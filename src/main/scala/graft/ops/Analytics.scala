@@ -560,6 +560,75 @@ object Analytics {
                   ORDER BY ts, event_id) AS BIGINT) AS n_types_seen
               FROM marked ORDER BY user_id, event_id""")),
 
+    // Peak concurrency per day — the SWEEP-LINE algorithm as a query:
+    // each user-day session becomes a +1 open / −1 close point, a
+    // running integer sum over the (time, delta) order is the live
+    // concurrency, and the per-day max is the capacity-planning number.
+    // Close sorts before open at an equal microsecond (delta ASC) so the
+    // tie rule is explicit and identical on both engines; all arithmetic
+    // is exact integers. Scale: the window is per-day (bounded
+    // partitions), points are 2× sessions — linear.
+    Spec("evt_concurrency",
+      (s, d) => {
+        val sess = t(s, d, "events")
+          .groupBy(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val pts = sess.select(col("day"), unix_micros(col("lo")).as("t"),
+            lit(1L).as("delta"))
+          .unionByName(sess.select(col("day"),
+            (unix_micros(col("hi")) + 1L).as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy("day").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("conc", sum("delta").over(w))
+          .groupBy("day").agg(max("conc").as("peak_concurrency"))
+          .orderBy("day")
+      },
+      Some("""WITH sess AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  min(ts) AS lo, max(ts) AS hi
+                FROM events GROUP BY 1, 2),
+              pts AS (
+                SELECT day, epoch_us(lo) AS t, CAST(1 AS BIGINT) AS delta FROM sess
+                UNION ALL
+                SELECT day, epoch_us(hi) + 1 AS t, CAST(-1 AS BIGINT) FROM sess),
+              run AS (
+                SELECT day, t,
+                  CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS conc
+                FROM pts)
+              SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+              FROM run GROUP BY day ORDER BY day""")),
+
+    // Share-of-total report — each (flag, status) revenue as a fraction
+    // of the grand total. BOTH aggregation levels stay exact decimal
+    // (the group sum AND the windowed grand total — a double grand total
+    // would re-introduce association-order drift across 6 merge orders);
+    // the only IEEE ops are the two final casts and one division.
+    Spec("win_ratio_to_report",
+      (s, d) => {
+        val g = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(30,2)")).as("rev_dec"))
+        g.select(col("l_returnflag"), col("l_linestatus"),
+            round(col("rev_dec"), 2).cast("double").as("rev"),
+            round(col("rev_dec").cast("double") /
+              sum(col("rev_dec")).over(Window.partitionBy()).cast("double"), 6)
+              .as("share"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                  sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS rev_dec
+                FROM lineitem GROUP BY 1, 2)
+              SELECT l_returnflag, l_linestatus,
+                CAST(round(rev_dec, 2) AS DOUBLE) AS rev,
+                round(CAST(rev_dec AS DOUBLE) /
+                      CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share
+              FROM g ORDER BY l_returnflag, l_linestatus""")),
+
     // Day-over-day percentage change per event type — the dashboard
     // companion of the slope row: integer daily counts, one lag, ONE
     // division (first row NULL on both engines). O(1) window state.

@@ -371,6 +371,53 @@ object Fns {
                 CAST(embedding[1] AS DOUBLE) * 2.0 AS first_x2
               FROM embeddings ORDER BY vec_id""")),
 
+    // Array tranche 2: structural ops (slice/reverse/flatten/repeat) and
+    // SET ops (distinct/intersect). Set-op OUTPUT ORDER is engine-defined
+    // on both sides, so every set result is array_sort-ed before the
+    // string join — the same canonical-form discipline as fn_map's
+    // sorted entries. Spark slice(arr, start, LENGTH) vs DuckDB
+    // list_slice(arr, begin, END-inclusive) is the off-by-one to watch:
+    // slice(w,3,6) ≡ list_slice(w,3,8).
+    Spec("fn_array2",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(slice(w, 1, 5), ",").as("first5"),
+            array_join(reverse(slice(w, 1, 3)), ",").as("rev3"),
+            size(flatten(array(slice(w, 1, 4), array(lit("x")))))
+              .cast("long").as("flat_len"),
+            array_join(array_sort(array_distinct(slice(w, 1, 8))), ",")
+              .as("dist8"),
+            array_join(array_repeat(col("lang"), 2), ",").as("lang2"),
+            array_min(array(col("doc_id") % 7, col("doc_id") % 13,
+              col("doc_id") % 5)).as("amin"),
+            array_max(array(col("doc_id") % 7, col("doc_id") % 13,
+              col("doc_id") % 5)).as("amax"),
+            array_join(array_sort(array_intersect(slice(w, 1, 6),
+              slice(w, 3, 6))), ",").as("inter"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents)
+              SELECT doc_id,
+                array_to_string(list_slice(w, 1, 5), ',') AS first5,
+                array_to_string(list_reverse(list_slice(w, 1, 3)), ',') AS rev3,
+                CAST(len(flatten([list_slice(w, 1, 4), ['x']])) AS BIGINT)
+                  AS flat_len,
+                array_to_string(list_sort(list_distinct(list_slice(w, 1, 8))), ',')
+                  AS dist8,
+                array_to_string([lang, lang], ',') AS lang2,
+                CAST(list_min([doc_id % 7, doc_id % 13, doc_id % 5]) AS BIGINT)
+                  AS amin,
+                CAST(list_max([doc_id % 7, doc_id % 13, doc_id % 5]) AS BIGINT)
+                  AS amax,
+                array_to_string(list_sort(list_distinct(
+                  list_intersect(list_slice(w, 1, 6), list_slice(w, 3, 8)))), ',')
+                  AS inter
+              FROM ws ORDER BY doc_id""")),
+
     // Real map functions on the Spark side (map_from_entries / element_at /
     // explode of a sorted-entry map); the oracle computes the same relation
     // without map types (map output encoding is a cross-engine hash trap).

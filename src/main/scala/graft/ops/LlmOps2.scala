@@ -209,6 +209,46 @@ object LlmOps2 {
     // that over- or under-matches on either engine hash-mismatches.
     // Pure per-row codegen'd regex work — no shuffle before the
     // presentation sort, embarrassingly parallel at any corpus size.
+    // URL canonicalization + dedup count — the other half of web-scrape
+    // ingest hygiene (the same page arrives as http/HTTPS, with tracking
+    // params, fragments, trailing slashes). Deterministic URLs are BUILT
+    // from document fields, canonicalized (lowercase, strip ?query/#frag,
+    // trim trailing '/'), and the canonical-grain group shows the dedup
+    // factor. Pure per-row string ops + one hash aggregate.
+    Spec("text_url_normalize",
+      (s, d) => {
+        val u = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("HTTPS://Example.COM/"), col("lang"), lit("/p"),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 3 === 0, "/").otherwise(""),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("?utm_source=x&id="), (col("doc_id") % 7).cast("string")))
+              .otherwise(""),
+            when(col("doc_id") % 5 === 0, "#frag").otherwise("")).as("url"))
+        u.select(col("doc_id"),
+            expr("rtrim('/', lower(regexp_replace(url, '[?#].*$', '')))")
+              .as("canon"))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .orderBy("canon")
+      },
+      Some("""WITH u AS (
+                SELECT doc_id,
+                  'HTTPS://Example.COM/' || lang || '/p' ||
+                    CAST(doc_id % 50 AS VARCHAR) ||
+                    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+                    CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE '' END ||
+                    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+                FROM documents),
+              norm AS (
+                SELECT doc_id,
+                  rtrim(lower(regexp_replace(url, '[?#].*$', '')), '/') AS canon
+                FROM u)
+              SELECT canon, count(*) AS n_docs, min(doc_id) AS first_doc
+              FROM norm GROUP BY canon ORDER BY canon""")),
+
     // HTML tag stripping — the first pass of every web-scrape ingest
     // (CommonCrawl-style corpora arrive as markup). Same
     // construct-then-parse design as fn_xml/pii_scrub: deterministic
