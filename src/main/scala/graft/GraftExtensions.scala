@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     // range-join auto-binning (Rule[LogicalPlan], operator-optimization batch)
     ext.injectOptimizerRule(_ => new graft.plans.RangeBinJoinRule)
+    // interval-OVERLAP auto-binning (two-sided generalization; registered
+    // after RangeBinJoinRule so the one-sided rule wins the point-range
+    // shape both can express)
+    ext.injectOptimizerRule(_ => new graft.plans.OverlapBinJoinRule)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "dot_product"),

@@ -332,6 +332,62 @@ object Joins {
                 o_orderkey, CAST(o_date AS VARCHAR) AS o_date
               FROM j WHERE rn = 1 ORDER BY event_id""")),
 
+    // Same overlap semantics as join_interval_overlap written as the
+    // NATURAL theta join — no manual binning, no manual pair-dedup.
+    // graft.plans.OverlapBinJoinRule detects the two opposing bound
+    // comparisons, explodes BOTH sides into width-w time bins, joins on
+    // bin equality, and keeps each pair only at its canonical bin
+    // (max of the two lower-bound bins) so no distinct is needed.
+    // Session grain (user_id, day) is unique by construction, so the
+    // plain post-join count equals the manual query's deduped session
+    // count — same oracle. OverlapBinJoinSpec proves plan shape +
+    // rule-off equivalence incl. degenerate/null intervals.
+    Spec("join_overlap_auto",
+      (s, d) => {
+        graft.plans.OverlapBinJoin.ensureRegistered(s)
+        // opt-in width ~ the short side's span: 6 h in epoch micros
+        s.conf.set("spark.graft.overlapBinJoin.binWidth", "2.16e10")
+        import s.implicits._
+        val sess = t(s, d, "events")
+          .groupBy(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(unix_micros(min(col("ts"))).as("s_lo"),
+            unix_micros(max(col("ts"))).as("s_hi"))
+        val camp = Seq(
+          (0, "2024-01-03 12:00:00", "2024-01-05 00:00:00"),
+          (1, "2024-01-08 00:00:00", "2024-01-09 00:00:00"),
+          (2, "2024-01-12 06:00:00", "2024-01-12 18:00:00"),
+          (3, "2024-01-15 00:00:00", "2024-01-18 00:00:00"),
+          (4, "2024-01-20 20:00:00", "2024-01-21 04:00:00"),
+          (5, "2024-01-28 00:00:00", "2024-01-30 00:00:00"))
+          .toDF("camp_id", "lo_s", "hi_s")
+          .select(col("camp_id"),
+            unix_micros(to_timestamp(col("lo_s"))).as("c_lo"),
+            unix_micros(to_timestamp(col("hi_s"))).as("c_hi"))
+        sess.join(camp,
+            col("s_lo") <= col("c_hi") && col("c_lo") <= col("s_hi"))
+          .groupBy("camp_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("camp_id")
+      },
+      Some("""WITH sess AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  min(ts) AS s_lo, max(ts) AS s_hi
+                FROM events GROUP BY 1, 2),
+              camp(camp_id, c_lo, c_hi) AS (VALUES
+                (0, TIMESTAMP '2024-01-03 12:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+                (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-09 00:00:00'),
+                (2, TIMESTAMP '2024-01-12 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
+                (3, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-18 00:00:00'),
+                (4, TIMESTAMP '2024-01-20 20:00:00', TIMESTAMP '2024-01-21 04:00:00'),
+                (5, TIMESTAMP '2024-01-28 00:00:00', TIMESTAMP '2024-01-30 00:00:00'))
+              SELECT camp_id, count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users
+              FROM sess JOIN camp ON s_lo <= c_hi AND c_lo <= s_hi
+              GROUP BY camp_id ORDER BY camp_id""")),
+
     // As-of with a TOLERANCE bound (pandas/polars `merge_asof(...,
     // tolerance=30d)`): the nearest earlier order counts only within 30
     // days — a stale match is worse than no match in feature engineering.

@@ -18,9 +18,19 @@ class RangeBinJoinSpec extends AnyFunSuite {
   private def executedPlan(df: DataFrame): String =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
 
+  /** Disables BOTH bin-join rules for the body: the overlap rule treats a
+    * point as a degenerate interval, so with a leaked overlap width (e.g.
+    * set by join_overlap_auto earlier in the shared session) it would
+    * also rewrite these point-range joins and the NestedLoop expectations
+    * here would test the wrong rule.
+    */
   private def withRule[A](enabled: Boolean)(body: => A): A = {
     spark.conf.set("spark.graft.rangeBinJoin.enabled", enabled.toString)
-    try body finally spark.conf.set("spark.graft.rangeBinJoin.enabled", "true")
+    spark.conf.set("spark.graft.overlapBinJoin.enabled", enabled.toString)
+    try body finally {
+      spark.conf.set("spark.graft.rangeBinJoin.enabled", "true")
+      spark.conf.unset("spark.graft.overlapBinJoin.enabled")
+    }
   }
 
   private def points = Seq(
@@ -67,10 +77,14 @@ class RangeBinJoinSpec extends AnyFunSuite {
 
   test("no explicit bin width -> rule never fires (opt-in contract)") {
     spark.conf.unset("spark.graft.rangeBinJoin.binWidth")
+    spark.conf.set("spark.graft.overlapBinJoin.enabled", "false")
     try {
       val plan = executedPlan(rangeJoin(points, intervals))
       assert(plan.contains("NestedLoopJoin") && !plan.contains("Generate"))
-    } finally spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+    } finally {
+      spark.conf.set("spark.graft.rangeBinJoin.binWidth", "8.0")
+      spark.conf.unset("spark.graft.overlapBinJoin.enabled")
+    }
   }
 
   test("malformed conf values disable the rule instead of failing queries") {
