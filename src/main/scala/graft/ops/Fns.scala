@@ -418,6 +418,28 @@ object Fns {
                   AS inter
               FROM ws ORDER BY doc_id""")),
 
+    // Quantifier HOFs — exists / forall over token arrays. DuckDB has no
+    // direct exists/forall; the oracle states the equivalent
+    // list_contains / filtered-length forms, which is exactly how the
+    // quantifiers desugar. All outputs boolean/integer — nothing float.
+    Spec("fn_exists_forall",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            exists(w, t => t === "spark").as("has_spark"),
+            forall(w, t => length(t) > 3).as("all_long"),
+            size(filter(w, t => t.startsWith("s"))).cast("long").as("n_s"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+              SELECT doc_id,
+                list_contains(w, 'spark') AS has_spark,
+                len(list_filter(w, t -> length(t) > 3)) = len(w) AS all_long,
+                CAST(len(list_filter(w, t -> t LIKE 's%')) AS BIGINT) AS n_s
+              FROM ws ORDER BY doc_id""")),
+
     // Real map functions on the Spark side (map_from_entries / element_at /
     // explode of a sorted-entry map); the oracle computes the same relation
     // without map types (map output encoding is a cross-engine hash trap).

@@ -284,6 +284,41 @@ object Rel {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
               FROM documents""")),
 
+    // NESTED JSON round trip — the schema-on-read depth test the flat
+    // row can't give: a struct and an array column are BUILT from the
+    // document row, written as JSON-lines, read back with an explicit
+    // NESTED schema, and the extracted fields are checked against values
+    // computed directly from the source table. A wrong nested schema
+    // (or silent field reordering) nulls the extraction and breaks the
+    // hash.
+    Spec("scan_json_nested",
+      (s, d) => {
+        val dest = stagedFixture(new java.io.File(
+          s"/tmp/graft_jsonnest_${Integer.toHexString(d.hashCode)}")) { stage =>
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              struct(col("lang"), length(col("text")).as("n_chars")).as("meta"),
+              slice(split(col("text"), " "), 1, 3).as("tags"))
+            .write.mode("overwrite").json(stage.getPath)
+        }
+        s.read
+          .schema("doc_id BIGINT, " +
+            "meta STRUCT<lang: STRING, n_chars: INT>, tags ARRAY<STRING>")
+          .json(dest.getPath)
+          .select(col("doc_id"), col("meta.lang").as("lang"),
+            col("meta.n_chars").cast("long").as("n_chars"),
+            size(col("tags")).cast("long").as("n_tags"),
+            array_join(col("tags"), ",").as("tag_str"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(list_slice(string_split(text, ' '), 1, 3)) AS BIGINT)
+                  AS n_tags,
+                array_to_string(list_slice(string_split(text, ' '), 1, 3), ',')
+                  AS tag_str
+              FROM documents ORDER BY doc_id""")),
+
     // CSV source round trip: parquet → headered CSV → explicit-schema read
     // → aggregate, checked against the ORIGINAL parquet. Any value lost in
     // text serialization (double shortening, µs truncation, quoting)
