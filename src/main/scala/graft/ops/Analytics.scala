@@ -629,6 +629,34 @@ object Analytics {
                       CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share
               FROM g ORDER BY l_returnflag, l_linestatus""")),
 
+    // Bounce rate per day — single-event user-days over total user-days,
+    // the engagement-quality counterpart of the stickiness row. One hash
+    // aggregate to session grain, one to day grain, a single division.
+    Spec("evt_bounce_rate",
+      (s, d) => {
+        val sess = t(s, d, "events")
+          .groupBy(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n_ev"))
+        sess.groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+            round(sum(when(col("n_ev") === 1, 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 6).as("bounce_rate"))
+          .orderBy("day")
+      },
+      Some("""WITH sess AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  count(*) AS n_ev
+                FROM events GROUP BY 1, 2)
+              SELECT day, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounce,
+                round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS bounce_rate
+              FROM sess GROUP BY day ORDER BY day""")),
+
     // Day-over-day percentage change per event type — the dashboard
     // companion of the slope row: integer daily counts, one lag, ONE
     // division (first row NULL on both engines). O(1) window state.

@@ -418,6 +418,24 @@ object Fns {
                   AS inter
               FROM ws ORDER BY doc_id""")),
 
+    // Delimited-field extraction: split_part is the SAME function on both
+    // engines (1-based, empty string past the end); substring_index has
+    // no DuckDB twin, so the oracle states its slice-join desugaring —
+    // the k-prefix semantics, not the name, is what's checked.
+    Spec("fn_split_part",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("split_part(text, ' ', 2)").as("second_tok"),
+          expr("split_part(text, ' ', 9999)").as("past_end"),
+          substring_index(col("text"), " ", 3).as("first3"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                split_part(text, ' ', 2) AS second_tok,
+                split_part(text, ' ', 9999) AS past_end,
+                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+                  AS first3
+              FROM documents ORDER BY doc_id""")),
+
     // Quantifier HOFs — exists / forall over token arrays. DuckDB has no
     // direct exists/forall; the oracle states the equivalent
     // list_contains / filtered-length forms, which is exactly how the

@@ -383,7 +383,64 @@ object Inference {
               SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
                 min(score) AS lo_score, max(score) AS hi_score
-              FROM b GROUP BY bin ORDER BY bin"""))
+              FROM b GROUP BY bin ORDER BY bin""")),
+
+    // Chance-corrected agreement: multiclass Cohen's κ and the R_K
+    // (multiclass MCC) statistic in ONE summary row. Everything up to
+    // the final ops is exact BIGINT arithmetic on confusion-matrix
+    // marginals — κ = (n·tr − Σr·c)/(n² − Σr·c) is a single division of
+    // exact integers; MCC adds one sqrt over doubles cast from exact
+    // integers, the same fixed-dag discipline as eval_auc. Marginal
+    // sums Σr² / Σc² are computed from the row/column relations ALONE
+    // (not the joined one) so a class present only as a label or only
+    // as a prediction still counts. The three 1-row aggregates cross
+    // back onto each other — the standard scalar decorrelation
+    // (PlanGuardSpec allowlisted).
+    Spec("eval_kappa_mcc",
+      (s, d) => {
+        val p = preds(s, d)
+        val conf = p.groupBy("label", "pred").agg(count(lit(1)).as("c"))
+        val r = conf.groupBy(col("label").as("k")).agg(sum("c").as("rt"))
+        val cl = conf.groupBy(col("pred").as("k")).agg(sum("c").as("ct"))
+        val tot = p.agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tr"))
+        val rc = r.join(cl, "k").agg(sum(col("rt") * col("ct")).as("sum_rc"))
+        val r2 = r.agg(sum(col("rt") * col("rt")).as("sum_r2"))
+        val c2 = cl.agg(sum(col("ct") * col("ct")).as("sum_c2"))
+        tot.crossJoin(broadcast(rc)).crossJoin(broadcast(r2))
+          .crossJoin(broadcast(c2))
+          .select(col("n"), col("tr"), col("sum_rc"),
+            round((col("n") * col("tr") - col("sum_rc")).cast("double") /
+              (col("n") * col("n") - col("sum_rc")).cast("double"), 6)
+              .as("kappa"),
+            round((col("n") * col("tr") - col("sum_rc")).cast("double") /
+              sqrt((col("n") * col("n") - col("sum_r2")).cast("double") *
+                (col("n") * col("n") - col("sum_c2")).cast("double")), 6)
+              .as("mcc"))
+      },
+      Some(s"""$full,
+              conf AS (SELECT label, pred, count(*) AS c FROM preds
+                       GROUP BY 1, 2),
+              r AS (SELECT label AS k, CAST(sum(c) AS BIGINT) AS rt
+                    FROM conf GROUP BY 1),
+              cl AS (SELECT pred AS k, CAST(sum(c) AS BIGINT) AS ct
+                     FROM conf GROUP BY 1),
+              tot AS (
+                SELECT count(*) AS n,
+                  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tr
+                FROM preds),
+              rc AS (SELECT CAST(sum(r.rt * cl.ct) AS BIGINT) AS sum_rc
+                     FROM r JOIN cl ON r.k = cl.k),
+              r2 AS (SELECT CAST(sum(rt * rt) AS BIGINT) AS sum_r2 FROM r),
+              c2 AS (SELECT CAST(sum(ct * ct) AS BIGINT) AS sum_c2 FROM cl)
+              SELECT n, tr, sum_rc,
+                round(CAST(n * tr - sum_rc AS DOUBLE) /
+                      CAST(n * n - sum_rc AS DOUBLE), 6) AS kappa,
+                round(CAST(n * tr - sum_rc AS DOUBLE) /
+                      sqrt(CAST(n * n - sum_r2 AS DOUBLE) *
+                           CAST(n * n - sum_c2 AS DOUBLE)), 6) AS mcc
+              FROM tot, rc, r2, c2"""))
   )
 
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =

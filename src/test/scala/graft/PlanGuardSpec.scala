@@ -30,10 +30,12 @@ class PlanGuardSpec extends AnyFunSuite {
     *    BNLJ over a broadcast bounded side IS the plan (the binned/auto
     *    range joins are the scale path)
     *  - join_q15_toprevenue / join_q22_idle_rich / text_tfidf_topk /
-    *    evt_rfm / sample_temperature / graph_triangle_count:
+    *    evt_rfm / sample_temperature / graph_triangle_count /
+    *    eval_kappa_mcc:
     *    1-row global-scalar subquery broadcast back onto the relation —
-    *    the standard decorrelation (graph_triangle_count crosses three
-    *    1-row aggregates into its single summary row)
+    *    the standard decorrelation (graph_triangle_count and
+    *    eval_kappa_mcc cross three 1-row aggregates into their single
+    *    summary rows)
     *  - sim_* / dedup_embed_cosine / sim_knn_classify: fixed probe set
     *    (vec_id predicate) broadcast against the corpus with a non-equi
     *    self-exclusion — scan ∥ broadcast ∥ fold, zero shuffle
@@ -42,6 +44,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "join_cross", "join_theta_range",
     "join_q15_toprevenue", "join_q22_idle_rich", "text_tfidf_topk",
     "evt_rfm", "sample_temperature", "graph_triangle_count",
+    "eval_kappa_mcc",
     "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
     "sim_knn_classify", "dedup_embed_cosine")
 
