@@ -27,17 +27,27 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader refuses (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy
-    * conf) and rebuild a microsecond TimestampType column. The generated
-    * data has zero sub-microsecond digits (verified at every sf), and
-    * DuckDB also surfaces the column as a µs TIMESTAMP, so both engines see
+  /** `events.ts` precision has varied across testdata generations:
+    * nanosecond-precision parquet (which Spark's vectorized reader refuses —
+    * PARQUET_TYPE_ILLEGAL) and plain microsecond TimestampType. Handle both:
+    * with the legacy conf set, a nanos column surfaces as LongType and is
+    * rebuilt into a µs TimestampType (the generated data has zero
+    * sub-microsecond digits, so no precision is lost); a native µs column
+    * already reads as TimestampType and passes through untouched. DuckDB
+    * surfaces the column as a µs TIMESTAMP either way, so both engines see
     * bit-identical values.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // tz-less µs parquet reads as TIMESTAMP_NTZ; cast to TIMESTAMP (LTZ).
+      // The session timezone is pinned to UTC, so the instant is unchanged
+      // and downstream unix_micros/window() calls see the type they expect.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register all tables as temp views (for spark.sql-shaped queries). */
