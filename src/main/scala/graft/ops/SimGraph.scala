@@ -361,6 +361,126 @@ object SimGraph {
                 FROM dists WHERE dist_raw <= 2.5)
               WHERE rnk <= 5 ORDER BY p_id, rnk""")),
 
+    // ---------------------------------------- retrieval-quality metrics
+    // Mean-reciprocal-rank audit of the cosine retrieval surface: for each
+    // probe, rank the whole corpus by cosine (the sim_cosine_topk ranking,
+    // same rounded-to-6 scores and vec_id tie-break, so the permutation is
+    // bit-identical cross-engine) and report the rank of the first
+    // neighbor sharing the probe's label. This is THE metric an embedding
+    // pipeline regression-gates on: it measures whether the space still
+    // places same-class items first, independent of any k cutoff.
+    // Determinism: row_number over (rounded cosine, vec_id) is exact;
+    // min(rnk) is exact; 1/rank is one IEEE division on an exact integer.
+    // Scale: rides `cosine` — bounded probe broadcast, corpus-linear fold,
+    // per-probe min as a hash agg; no global sort (ORDER BY is |probes|).
+    Spec("eval_mrr",
+      (s, d) => {
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val w = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        cosine(s, d, col("vec_id") < 5)
+          .withColumn("rnk", row_number().over(w))
+          .join(lbl, "vec_id")
+          .join(broadcast(lbl.where(col("vec_id") < 5)
+            .select(col("vec_id").as("p_id"), col("label").as("p_label"))), "p_id")
+          .where(col("label") === col("p_label"))
+          .groupBy("p_id").agg(min("rnk").as("first_rel_rank"))
+          .select(col("p_id"), col("first_rel_rank"),
+            round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
+          .orderBy("p_id")
+      },
+      Some(s"""WITH ${cosineSql("p.vec_id < 5")},
+               ranked AS (
+                 SELECT p_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY p_id
+                     ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM cosv),
+               rel AS (
+                 SELECT r.p_id, min(r.rnk) AS first_rel_rank
+                 FROM ranked r
+                   JOIN embeddings e ON r.vec_id = e.vec_id
+                   JOIN embeddings p ON r.p_id = p.vec_id
+                 WHERE e.label = p.label
+                 GROUP BY r.p_id)
+               SELECT p_id, first_rel_rank,
+                 round(1.0 / first_rel_rank, 6) AS rr
+               FROM rel ORDER BY p_id""")),
+
+    // NDCG@10 with binary relevance (neighbor shares the probe's label) —
+    // the graded companion to eval_mrr: MRR sees only the first hit, NDCG
+    // scores the whole top-10 against the best achievable ordering. Both
+    // DCG and ideal DCG are summed as floor-scaled BIGINTs
+    // (floor(1e12/log2(rank+1))): each term is a deterministic double →
+    // identical floor on both engines, and long sums are exact and
+    // order-free, so ndcg = dcg/idcg is one IEEE division on two exact
+    // integers — bit-identical with NO float accumulation (the eval_auc /
+    // graph_pagerank discipline). The ideal DCG enumerates
+    // min(n_relevant, 10) positions via sequence + an exact long fold.
+    // Scale: same corpus-linear cosine + per-probe top-10 window; the
+    // relevant-count side is one broadcast-joined hash agg over labels.
+    Spec("eval_ndcg",
+      (s, d) => {
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val probeLbl = broadcast(lbl.where(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("label").as("p_label")))
+        val w = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        val scaledGain = floor(lit(1.0e12) / log2(col("rnk") + lit(1))).cast("long")
+        val dcg = cosine(s, d, col("vec_id") < 5)
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 10)
+          .join(lbl, "vec_id").join(probeLbl, "p_id")
+          .groupBy("p_id")
+          .agg(sum(when(col("label") === col("p_label"), scaledGain)
+            .otherwise(lit(0L))).as("dcg_s"))
+        // n_relevant per probe = same-label corpus rows minus the probe.
+        val relCnt = lbl.groupBy("label").agg(count(lit(1)).as("n_lbl"))
+        val ideal = probeLbl.join(broadcast(relCnt),
+            col("p_label") === col("label"))
+          .select(col("p_id"), least(col("n_lbl") - 1, lit(10)).as("k"))
+          .withColumn("idcg_s", aggregate(
+            sequence(lit(1), col("k")),
+            lit(0L),
+            (acc, i) => acc +
+              floor(lit(1.0e12) / log2(i.cast("double") + lit(1.0))).cast("long")))
+        dcg.join(ideal, "p_id")
+          .select(col("p_id"), col("k").as("n_ideal"),
+            round(col("dcg_s").cast("double") / col("idcg_s").cast("double"), 6)
+              .as("ndcg10"))
+          .orderBy("p_id")
+      },
+      Some(s"""WITH ${cosineSql("p.vec_id < 5")},
+               ranked AS (
+                 SELECT p_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY p_id
+                     ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM cosv),
+               dcg AS (
+                 SELECT r.p_id,
+                   CAST(sum(CASE WHEN e.label = p.label
+                     THEN CAST(floor(1e12 / log2(r.rnk + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS dcg_s
+                 FROM ranked r
+                   JOIN embeddings e ON r.vec_id = e.vec_id
+                   JOIN embeddings p ON r.p_id = p.vec_id
+                 WHERE r.rnk <= 10
+                 GROUP BY r.p_id),
+               relcnt AS (SELECT label, count(*) AS n_lbl FROM embeddings
+                          GROUP BY label),
+               ideal AS (
+                 SELECT p.vec_id AS p_id,
+                   least(rc.n_lbl - 1, 10) AS k,
+                   list_reduce(list_transform(
+                     range(1, CAST(least(rc.n_lbl - 1, 10) AS BIGINT) + 1),
+                     i -> CAST(floor(1e12 / log2(CAST(i AS DOUBLE) + 1.0))
+                       AS BIGINT)),
+                     (a, b) -> a + b) AS idcg_s
+                 FROM embeddings p JOIN relcnt rc ON p.label = rc.label
+                 WHERE p.vec_id < 5)
+               SELECT d.p_id, i.k AS n_ideal,
+                 round(CAST(d.dcg_s AS DOUBLE) / CAST(i.idcg_s AS DOUBLE), 6)
+                   AS ndcg10
+               FROM dcg d JOIN ideal i ON d.p_id = i.p_id
+               ORDER BY d.p_id""")),
+
     // ------------------------------------------------------ multimodal
     Spec("multimodal_join",
       (s, d) => {

@@ -206,6 +206,50 @@ object TextAnalysis {
                  FROM tc GROUP BY doc_id)
                SELECT doc_id, n_toks, n_distinct,
                  round(log2(n_toks) - clog / n_toks, 4) AS entropy_bits
+               FROM pd ORDER BY doc_id""")),
+
+    // Per-document cross-entropy against the CORPUS unigram distribution —
+    // the perplexity-proxy quality score an LLM-data pipeline uses to rank
+    // documents without a model: H(doc ∥ corpus) = -(1/n)Σ log2(c_t/total)
+    // = log2(total) - (Σ log2 c_t)/n. Documents full of rare tokens score
+    // high (surprising), boilerplate scores low — complementary to
+    // text_entropy, which only sees WITHIN-doc repetition.
+    // Determinism: log2 of an exact BIGINT count is one deterministic IEEE
+    // op; per-token terms are floor-scaled to BIGINT (×1e9 — |log2|<64 and
+    // ≤1e6 tokens/doc keeps sums < 2^56) and summed exactly, then the
+    // final expression is a fixed IEEE dag on exact integers.
+    // Scale: vocab counts are a two-phase hash agg; the token→count join
+    // is a plain shuffled hash join (the vocabulary of a 100 TB corpus
+    // outgrows any broadcast); per-doc reduction is another hash agg. No
+    // window, no sort until the final |docs|-row ORDER BY.
+    Spec("text_cross_entropy",
+      (s, d) => {
+        val tk = toks(s, d)
+        val vocab = tk.groupBy("token").agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum("c").cast("long").as("total"))
+        tk.join(vocab, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(floor(log2(col("c")) * lit(1.0e9)).cast("long")).as("slog"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_toks"),
+            round(log2(col("total")) -
+              (col("slog").cast("double") / lit(1.0e9)) / col("n_toks"), 4)
+              .as("ce_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+               pd AS (
+                 SELECT t.doc_id, count(*) AS n_toks,
+                   CAST(sum(CAST(floor(log2(v.c) * 1e9) AS BIGINT))
+                     AS BIGINT) AS slog
+                 FROM toks t JOIN vocab v ON t.token = v.token
+                 GROUP BY t.doc_id)
+               SELECT doc_id, n_toks,
+                 round(log2((SELECT total FROM tot)) -
+                   (CAST(slog AS DOUBLE) / 1e9) / n_toks, 4) AS ce_bits
                FROM pd ORDER BY doc_id"""))
   )
 }

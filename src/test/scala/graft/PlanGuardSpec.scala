@@ -36,9 +36,12 @@ class PlanGuardSpec extends AnyFunSuite {
     *    the standard decorrelation (graph_triangle_count and
     *    eval_kappa_mcc cross three 1-row aggregates into their single
     *    summary rows)
-    *  - sim_* / dedup_embed_cosine / sim_knn_classify: fixed probe set
-    *    (vec_id predicate) broadcast against the corpus with a non-equi
-    *    self-exclusion — scan ∥ broadcast ∥ fold, zero shuffle
+    *  - sim_* / dedup_embed_cosine / sim_knn_classify / eval_mrr /
+    *    eval_ndcg: fixed probe set (vec_id predicate) broadcast against
+    *    the corpus with a non-equi self-exclusion — scan ∥ broadcast ∥
+    *    fold, zero shuffle (the eval_* pair rank the same cosine relation)
+    *  - text_cross_entropy: 1-row corpus-total aggregate broadcast back
+    *    onto the per-doc relation (the text_tfidf_topk decorrelation)
     */
   private val bnljAllow = Set(
     "join_cross", "join_theta_range",
@@ -46,7 +49,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "evt_rfm", "sample_temperature", "graph_triangle_count",
     "eval_kappa_mcc",
     "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
-    "sim_knn_classify", "dedup_embed_cosine")
+    "sim_knn_classify", "dedup_embed_cosine",
+    "eval_mrr", "eval_ndcg", "text_cross_entropy")
 
   for (spec <- SparkEntry.specs) {
     test(s"plan guard: ${spec.name}") {
