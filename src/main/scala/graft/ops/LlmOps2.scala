@@ -792,6 +792,53 @@ object LlmOps2 {
                SELECT r.vec_id, r.pred AS cluster, r.rnk, reps.rep_id,
                  r.vec_id = reps.rep_id AS keep, r.score
                FROM ranked r JOIN reps ON r.pred = reps.pred
-               ORDER BY r.vec_id"""))
+               ORDER BY r.vec_id""")),
+
+    // CONTAINMENT dedup — the asymmetric cousin of Jaccard near-dup:
+    // C(P,D) = |P∩D| / |P| finds documents that CONTAIN a probe's token
+    // set (quote inclusion, boilerplate wrapping, prompt-in-completion),
+    // which symmetric Jaccard misses whenever |D| ≫ |P| (the union in the
+    // denominator drowns the overlap). Probe side is a bounded set
+    // (doc_id < 20) broadcast against the corpus; the intersection is the
+    // native codegen'd `sorted_intersect_count` over the presorted
+    // distinct-token arrays (one linear merge per pair, no explode, no
+    // shuffle), and containment is one IEEE division of exact BIGINTs.
+    // The 100 TB unbounded variant is the same banded-minhash candidate
+    // route the Jaccard family rides (containment ≥ t implies band
+    // collision at the same rate); this query is the exact bounded-probe
+    // referee, the sim_cosine_topk pattern applied to set containment.
+    Spec("dedup_containment",
+      (s, d) => {
+        val sets = t(s, d, "documents")
+          .select(col("doc_id"),
+            array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+          .withColumn("nt", size(col("ts")).cast("long"))
+        val probes = sets.where(col("doc_id") < 20)
+          .select(col("doc_id").as("p_id"), col("ts").as("pts"),
+            col("nt").as("np"))
+        sets.join(broadcast(probes), col("doc_id") =!= col("p_id"))
+          .withColumn("inter", expr("sorted_intersect_count(pts, ts)"))
+          .where(col("inter") * 10 >= col("np") * 8)
+          .select(col("p_id"), col("doc_id"), col("inter"),
+            round(col("inter").cast("double") / col("np"), 6)
+              .as("containment"))
+          .orderBy("p_id", "doc_id")
+      },
+      Some("""WITH sets AS (
+                SELECT doc_id,
+                  list_sort(list_distinct(string_split(text, ' '))) AS ts,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS nt
+                FROM documents),
+              pr AS (SELECT doc_id AS p_id, ts AS pts, nt AS np FROM sets
+                     WHERE doc_id < 20),
+              pairs AS (
+                SELECT pr.p_id, s.doc_id, pr.np,
+                  CAST(len(list_intersect(pr.pts, s.ts)) AS BIGINT) AS inter
+                FROM sets s JOIN pr ON s.doc_id <> pr.p_id)
+              SELECT p_id, doc_id, inter,
+                round(CAST(inter AS DOUBLE) / np, 6) AS containment
+              FROM pairs WHERE inter * 10 >= np * 8
+              ORDER BY p_id, doc_id"""))
   )
 }

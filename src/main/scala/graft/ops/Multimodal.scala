@@ -381,6 +381,95 @@ object Multimodal {
               SELECT doc_id, i // 256 AS frame_id,
                 CAST(sum(abs(s)) AS BIGINT) AS energy
               FROM cells GROUP BY doc_id, i // 256
-              ORDER BY doc_id, frame_id"""))
+              ORDER BY doc_id, frame_id""")),
+
+    // IMAGE NEAR-DUP via perceptual average-hash — the multimodal twin of
+    // dedup_exact: a vision-data pipeline dedups screenshots/memes by a
+    // content hash of the DECODED pixels, not the file bytes (re-encoded
+    // copies share pixels but not bytes). Each doc renders a deterministic
+    // 8×8 PNG whose pixel formula depends on doc_id % 40 — forty "motifs",
+    // each repeated by many docs, exactly the duplicate structure aHash
+    // exists to find. In-executor: real javax.imageio decode through the
+    // codec seam (per-partition session + task-completion close), integer
+    // luminance 299r+587g+114b, bit i = lum_i·64 > Σlum (strict, pure
+    // integer — no mean division), bits packed y-major into a 64-char
+    // string. Dedup is then a hash-grain groupBy: n_imgs per hash +
+    // min-doc canonical, the dedup_exact shape at perceptual grain.
+    // Scale: decode+hash is per-row executor work (zero shuffle); the
+    // groupBy shuffles 64-byte keys — two-phase hash agg, same 100 TB
+    // shape as dedup_exact. The oracle reproduces the hash from the pixel
+    // formula (construct-then-parse, the mm_decode_real design).
+    Spec("mm_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val hashed = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val dec = ImageIoCodec.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+            it.map { id =>
+              val seed = id % 40
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val r = ((seed * 7 + x * 13 + y * 31) % 256).toInt
+                  val g = ((seed * 11 + x * 17 + y * 5) % 256).toInt
+                  val b = ((seed * 3 + x * 19 + y * 23) % 256).toInt
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val px = dec.decode(bos.toByteArray, 8, 8, 3)
+              val lum = new Array[Long](64)
+              var total = 0L
+              var i = 0
+              while (i < 64) {
+                val r = math.round(px(3 * i) * 255f).toLong
+                val g = math.round(px(3 * i + 1) * 255f).toLong
+                val b = math.round(px(3 * i + 2) * 255f).toLong
+                lum(i) = 299L * r + 587L * g + 114L * b
+                total += lum(i)
+                i += 1
+              }
+              val sb = new StringBuilder(64)
+              i = 0
+              while (i < 64) {
+                sb.append(if (lum(i) * 64L > total) '1' else '0')
+                i += 1
+              }
+              (id, sb.toString)
+            }
+          }
+          .toDF("doc_id", "ahash")
+        hashed.groupBy("ahash")
+          .agg(count(lit(1)).as("n_imgs"), min("doc_id").as("canonical_id"))
+          .orderBy("canonical_id")
+      },
+      Some("""WITH px AS (
+                SELECT doc_id, gy.y, gx.x,
+                  299 * (((doc_id % 40) * 7 + gx.x * 13 + gy.y * 31) % 256)
+                    + 587 * (((doc_id % 40) * 11 + gx.x * 17 + gy.y * 5) % 256)
+                    + 114 * (((doc_id % 40) * 3 + gx.x * 19 + gy.y * 23) % 256)
+                    AS lum
+                FROM documents, generate_series(0, 7) gx(x),
+                  generate_series(0, 7) gy(y)),
+              tot AS (
+                SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+                FROM px GROUP BY doc_id),
+              bits AS (
+                SELECT p.doc_id, p.y, p.x,
+                  CASE WHEN p.lum * 64 > t.total THEN '1' ELSE '0' END AS b
+                FROM px p JOIN tot t USING (doc_id)),
+              ah AS (
+                SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS ahash
+                FROM bits GROUP BY doc_id)
+              SELECT ahash, count(*) AS n_imgs, min(doc_id) AS canonical_id
+              FROM ah GROUP BY ahash ORDER BY canonical_id"""))
   )
 }

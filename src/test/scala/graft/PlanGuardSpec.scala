@@ -50,7 +50,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "eval_kappa_mcc",
     "sim_cosine_topk", "sim_cosine_fused", "sim_dot_native",
     "sim_knn_classify", "dedup_embed_cosine",
-    "eval_mrr", "eval_ndcg", "text_cross_entropy")
+    "eval_mrr", "eval_ndcg", "text_cross_entropy",
+    "sim_quantized_recall", "dedup_containment")
 
   for (spec <- SparkEntry.specs) {
     test(s"plan guard: ${spec.name}") {
