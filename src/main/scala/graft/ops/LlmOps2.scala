@@ -611,6 +611,37 @@ object LlmOps2 {
     // oracle-checkable. Spark's WindowGroupLimit pushes the rank<=5 cutoff
     // below the shuffle, so each partition forwards at most 5 rows per
     // stratum — O(strata × k) intermediate, any corpus size.
+    // Content-addressed train/val/test split — the assignment every
+    // training run needs to be REPRODUCIBLE and leak-free: bucketing on a
+    // hash of the CONTENT (not doc_id, not rand()) means the same document
+    // lands in the same split across reshuffles, re-crawls, and engine
+    // versions, and exact duplicates can never straddle train/test (the
+    // classic eval-leak). First md5 nibble → 16 buckets: 0-c train
+    // (13/16 ≈ 81%), d val, e-f test; hex chars compare identically in
+    // both engines (ASCII). Output is the per-(lang, split) audit table.
+    // Scale: one linear scan + a two-phase hash agg on a 3×|langs| key
+    // space — no shuffle of the corpus itself.
+    Spec("sample_split",
+      (s, d) => {
+        val b = substring(md5(col("text")), 1, 1)
+        t(s, d, "documents")
+          .withColumn("split",
+            when(b <= lit("c"), lit("train"))
+              .when(b === lit("d"), lit("val"))
+              .otherwise(lit("test")))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang,
+                CASE WHEN substring(md5(text), 1, 1) <= 'c' THEN 'train'
+                     WHEN substring(md5(text), 1, 1) = 'd' THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY 1, 2 ORDER BY lang, split""")),
+
     Spec("sample_stratified",
       (s, d) => {
         val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
