@@ -50,6 +50,51 @@ object TypedAggs {
       Some("""SELECT l_returnflag,
                 (CAST(sum(CAST(l_quantity * l_extendedprice * 100 AS BIGINT)) AS DOUBLE) / 100.0)
                   / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_price
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // KeyValueGroupedDataset.mapGroups — the typed per-group escape hatch
+    // (arbitrary JVM logic over a whole group's iterator), completing the
+    // typed surface next to Aggregator above. Used here for a per-language
+    // corpus profile incl. an argmax (longest doc, ties to lowest id).
+    // Everything computed is ORDER-INDEPENDENT (count/sum/max + explicit
+    // tie rule), because mapGroups gives no intra-group order guarantee —
+    // that discipline, not the API, is what makes the result exact.
+    // Scale honesty: mapGroups materializes each group through an
+    // iterator with NO partial aggregation and no codegen — the right
+    // tool only when per-group logic genuinely can't be expressed as
+    // aggregates/windows (here it could; this query exists to pin the
+    // API's semantics and cost, the infer_mapp_argmax role). The shuffle
+    // is one hash exchange on the group key, same as the SQL twin.
+    Spec("typed_mapgroups",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (lang, rows) =>
+            var n = 0L; var total = 0L; var mx = Long.MinValue; var arg = Long.MaxValue
+            rows.foreach { case (_, chars, id) =>
+              n += 1; total += chars
+              if (chars > mx || (chars == mx && id < arg)) { mx = chars; arg = id }
+            }
+            (lang, n, total, mx, arg)
+          }
+          .toDF("lang", "n_docs", "total_chars", "max_chars", "longest_doc_id")
+          .orderBy("lang")
+      },
+      Some("""WITH ranked AS (
+                SELECT lang, n_chars, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents)
+              SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+                max(d.n_chars) AS max_chars,
+                min(r.doc_id) AS longest_doc_id
+              FROM documents d
+                JOIN (SELECT lang, doc_id FROM ranked WHERE rk = 1) r
+                  ON d.lang = r.lang
+              GROUP BY d.lang ORDER BY d.lang"""))
   )
 }
