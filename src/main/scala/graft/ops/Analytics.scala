@@ -532,6 +532,49 @@ object Analytics {
                 CASE WHEN k = 7 THEN med END AS med7
               FROM win ORDER BY event_type, day""")),
 
+    // Exponentially-weighted moving average over each user's last 8
+    // events — the classic low-latency smoother (monitoring, trading,
+    // rate estimation) that plain rolling means lag behind. α = 1/2, so
+    // every weight 2⁻ⁱ is an EXACT binary float and each term x·2⁻ⁱ is
+    // one IEEE multiply; numerator and denominator are then SEQUENTIAL
+    // left-to-right folds over the frame-ordered (newest-first) list —
+    // the same order on both engines — so the result is bit-identical
+    // with no scaling tricks (the rolling-median collect-then-fold idiom
+    // applied to a weighted mean). Frame order is (ts, event_id): unique,
+    // hence deterministic. Per-row cost is a bounded 8-element fold; one
+    // shuffle on the user key, no global sort before the final ORDER BY.
+    Spec("win_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-7, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+          .withColumn("arr", reverse(collect_list(col("value")).over(w)))
+          .withColumn("num", aggregate(
+            transform(col("arr"), (x, i) => x * pow(lit(0.5), i.cast("double"))),
+            lit(0.0), (a, x) => a + x))
+          .withColumn("den", aggregate(
+            transform(col("arr"), (x, i) => pow(lit(0.5), i.cast("double"))),
+            lit(0.0), (a, x) => a + x))
+          .select(col("user_id"), col("event_id"),
+            round(col("num") / col("den"), 6).as("ewma8"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH framed AS (
+                SELECT user_id, event_id,
+                  list_reverse(list(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
+                FROM events)
+              SELECT user_id, event_id,
+                round(
+                  list_reduce(list_transform(arr,
+                    (x, i) -> x * power(0.5, i - 1)), (a, b) -> a + b) /
+                  list_reduce(list_transform(arr,
+                    (x, i) -> power(0.5, i - 1)), (a, b) -> a + b), 6)
+                  AS ewma8
+              FROM framed ORDER BY user_id, event_id""")),
+
     // Cumulative DISTINCT count over a stream order — "how many distinct
     // event types has this user seen so far?" A naive per-row distinct
     // re-scan is O(n²); the scalable shape is the FIRST-OCCURRENCE trick:

@@ -432,6 +432,54 @@ object Joins {
                 CAST(sum(ev_date - o_date) AS BIGINT) AS total_gap_days
               FROM j WHERE rn = 1""")),
 
+    // NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    // match each event to the same user's order with the SMALLEST
+    // |date gap| within ±30 days, looking both backward and forward —
+    // the right semantics when the reference series may lag OR lead
+    // (sensor clocks, settlement vs trade dates). Tie rule is explicit:
+    // equal absolute gap prefers the earlier order date (backward wins,
+    // pandas' convention), then highest o_orderkey — determinism is the
+    // tie RULE, not luck. Scale shape: identical to join_asof_tolerance —
+    // the ±30-day band bounds the candidate explosion, one shuffle on the
+    // user key, per-event window min; the unbounded variant would ride
+    // the native merge exec like join_asof_native.
+    Spec("join_asof_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("date_add(DATE '1995-01-01', CAST(floor(value * 20) AS INT))").as("ev_date"))
+        val o = t(s, d, "orders")
+        val gap = datediff(ev("ev_date"), o("o_orderdate").cast("date"))
+        val j = ev.join(o,
+            o("o_custkey") === ev("user_id") && abs(gap) <= 30)
+        val w = Window.partitionBy(ev("event_id"))
+          .orderBy(abs(gap).asc, o("o_orderdate").asc, o("o_orderkey").desc)
+        j.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_matched"),
+            countDistinct(ev("user_id")).as("n_users"),
+            sum(abs(gap).cast("long")).as("total_abs_gap_days"),
+            sum(when(gap >= 0, 1L).otherwise(0L)).as("n_backward"))
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id,
+                       DATE '1995-01-01' + CAST(floor(value * 20) AS INT) AS ev_date
+                FROM events),
+              j AS (
+                SELECT ev.event_id, ev.user_id,
+                       ev.ev_date - CAST(o.o_orderdate AS DATE) AS gap,
+                       row_number() OVER (PARTITION BY ev.event_id
+                         ORDER BY abs(ev.ev_date - CAST(o.o_orderdate AS DATE)),
+                                  o.o_orderdate, o.o_orderkey DESC) AS rn
+                FROM ev JOIN orders o
+                  ON o.o_custkey = ev.user_id
+                 AND abs(ev.ev_date - CAST(o.o_orderdate AS DATE)) <= 30)
+              SELECT count(*) AS n_matched, count(DISTINCT user_id) AS n_users,
+                CAST(sum(abs(gap)) AS BIGINT) AS total_abs_gap_days,
+                CAST(sum(CASE WHEN gap >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_backward
+              FROM j WHERE rn = 1""")),
+
     // Same as-of semantics through the native whole-operator path
     // (graft.plans: broadcast-index or single-pass merge exec — no
     // (left × right≤t) row explosion, no window pass). The operator ranks
