@@ -11,12 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All declared operator specs, one list per SURVEY.md §2 category. */
   def specs: Seq[Spec] =
-    ops.Rel.all ++ ops.Joins.all ++ ops.TpchJoins.all ++ ops.Aggs.all ++
+    ops.Rel.all ++ ops.Joins.all ++ ops.TpchJoins.all ++ ops.TpchJoins2.all ++ ops.Aggs.all ++
       ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++
       ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
       ops.TextAnalysis.all ++ ops.SimGraph.all ++
       ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++
-      ops.Analytics.all ++ ops.TypedAggs.all
+      ops.Analytics.all ++ ops.TypedAggs.all ++ ops.Warehouse.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 category C (extended, round 8) — the five TPC-H shapes the
+  * survey recorded as data-impossible in their LITERAL form (no partsupp
+  * table, no l_shipmode / l_commitdate in the driver testdata), re-expressed
+  * on the columns that DO exist so the full 22-query shape suite is covered:
+  *
+  *   - Q2  → correlated-min subquery (min supply cost per part)
+  *   - Q11 → group-by HAVING against a global scalar subquery (ratio of total)
+  *   - Q12 → two-value conditional aggregation over a fact-fact join
+  *   - Q16 → distinct-count with NOT IN exclusion subquery
+  *   - Q20 → nested IN subquery with a HAVING threshold
+  *
+  * The part↔supplier relation partsupp is replaced by the observed
+  * (l_partkey, l_suppkey) pairs in lineitem, and supply cost by the unit
+  * price l_extendedprice / l_quantity — the same join/agg/subquery physics
+  * on the driver's schema. Scale discipline matches TpchJoins.scala:
+  * dimensions broadcast, fact-side filters push to the scan, all money
+  * aggregation is exact-decimal ([[Tables.msum]]).
+  */
+object TpchJoins2 {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // Q2 shape (min-cost supplier): the hallmark correlated-min subquery,
+    // decorrelated the scale-correct way — a window MIN over the per-part
+    // partition instead of a per-row rescan. Physics: one shuffle to the
+    // (partkey, suppkey) grain, one to the partkey grain for the window;
+    // part / supplier / nation / region are all broadcast. unit_cost is a
+    // single IEEE division + order-free MIN, bit-identical on both engines.
+    Spec("join_q2_mincost",
+      (s, d) => {
+        val supply = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val best = supply.withColumn("min_cost",
+          min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+          .where(col("unit_cost") === col("min_cost"))
+        val p = t(s, d, "part")
+          .where(col("p_type") === "ECONOMY" && col("p_size").between(10, 20))
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region").where(col("r_name") === "EUROPE")
+        best.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"), col("unit_cost"))
+          .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+            asc("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH supply AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2)
+              SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+              FROM supply
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+              WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 20
+                AND r_name = 'EUROPE'
+                AND unit_cost = (SELECT min(s2.unit_cost) FROM supply s2
+                                 WHERE s2.l_partkey = supply.l_partkey)
+              ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+              LIMIT 100""")),
+
+    // Q11 shape (important stock): per-partkey value HAVING > fraction of
+    // the region-scoped total (region rather than Q11's single nation so
+    // the qualifying set is non-empty at every driver SF — sf0.001 has
+    // only 10 suppliers and some nations have none). The global total is the classic 1-row scalar
+    // subquery, decorrelated to a broadcast back onto the grouped relation
+    // (same pattern as join_q15_toprevenue). Both the per-part value and
+    // the total are EXACT decimal sums — the HAVING comparison happens on
+    // deterministic doubles derived from exact decimals, so the qualifying
+    // set is identical on both engines.
+    Spec("join_q11_important",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region").where(col("r_name") === "EUROPE")
+        val dec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(30, 4))
+        val perPart = li
+          .join(broadcast(su
+            .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(dec).as("value_dec"))
+        val total = perPart.agg(sum(col("value_dec"))
+          .cast(DoubleType).as("total_value"))
+        perPart
+          .withColumn("value", col("value_dec").cast(DoubleType))
+          .join(broadcast(total))
+          .where(col("value") > lit(0.001) * col("total_value"))
+          .select(col("l_partkey"), round(col("value"), 2).as("value"))
+          .orderBy(desc("value"), asc("l_partkey"))
+      },
+      Some("""SELECT l_partkey,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS value
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+              GROUP BY l_partkey
+              HAVING CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     > 0.001 * (
+                  SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE')
+              ORDER BY value DESC, l_partkey""")),
+
+    // Q12 shape (shipmode priority split): two-value conditional aggregation
+    // over the lineitem ⋈ orders fact-fact join, l_linestatus standing in
+    // for the absent l_shipmode. One shuffle join on orderkey + one
+    // two-row hash agg; counts are exact BIGINTs. The date filter pushes
+    // to the lineitem scan.
+    Spec("join_q12_priority",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Q16 shape (supplier count by part attribute): COUNT(DISTINCT supplier)
+    // per (brand, type, size) with a NOT IN exclusion subquery — the
+    // "complaints" set is suppliers with negative balance. Both key columns
+    // are provably non-null, so the oracle's NOT IN is equivalent to the
+    // plain broadcast anti join the DataFrame plans (no null-aware pass
+    // needed); part broadcasts too; the only shuffles are the distinct +
+    // final agg on the bounded attribute grain.
+    Spec("join_q16_partcount",
+      (s, d) => {
+        val bad = t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val p = t(s, d, "part").where(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").like("SMALL%") && col("p_size").isin(5, 15, 25, 35, 45))
+        t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+            asc("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'SMALL%'
+                AND p_size IN (5, 15, 25, 35, 45)
+                AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_type, p_size
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // Q20 shape (excess availability): nested IN subquery whose inner
+    // relation aggregates to a HAVING threshold — suppliers who moved more
+    // than 50 units of any 'red' part in 1997. The inner aggregate runs at
+    // the (suppkey, partkey) grain (one shuffle), collapses to a distinct
+    // supplier set, and semi-joins supplier (broadcast — the candidate set
+    // is bounded by |supplier|). Quantity sums are exact decimals.
+    Spec("join_q20_excess",
+      (s, d) => {
+        val p = t(s, d, "part").where(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val excess = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(30, 2))).as("qty"))
+          .where(col("qty") > 50)
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(30,2))) > 50)
+              ORDER BY s_name""")))
+}
