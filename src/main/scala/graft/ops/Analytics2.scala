@@ -1,0 +1,229 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 analytics (round 8, tranche 2) — statistical depth ops:
+  * lag-k autocorrelation, exact distributed median, an A/B-test z-score,
+  * and a Pareto concentration curve. The shared discipline: every
+  * accumulation is an exact BIGINT sum; floats appear only in one final
+  * fixed-order expression written with the same text on both engines, so
+  * the outputs are bit-identical without rounding tricks.
+  */
+object Analytics2 {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // Lag-k autocorrelation (ACF, lags 1..7) of the daily event-count
+    // series — the seasonality detector a forecast pipeline runs first.
+    // r_k is computed from SIX integer sufficient statistics (T, Σx, Σx²,
+    // Σ x_t·x_{t+k}, and the two truncated edge sums) gathered in ONE
+    // global agg over the lead-shifted series; the only float math is the
+    // final per-lag expression, written in the identical operation order
+    // on both engines. The day-grain series is tiny at any SF (the fact
+    // scan aggregates 1e9 rows to ~30), so the unpartitioned lead window
+    // is a deliberate 30-row single-partition stage, not a scale hazard.
+    // (BIGINT bound: Σx·x_lag overflows only past ~2e9 events/day.)
+    Spec("ts_autocorr",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("day")
+        val led = daily.select(
+          (col("x") +: (1 to 7).map(k => lead("x", k).over(w).as(s"x$k"))): _*)
+        val aggCols = Seq(count(lit(1)).as("t"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2")) ++
+          (1 to 7).flatMap { k =>
+            Seq(sum(col("x") * col(s"x$k")).as(s"n$k"),
+              sum(when(col(s"x$k").isNotNull, col("x"))).as(s"a$k"),
+              sum(col(s"x$k")).as(s"b$k"))
+          }
+        val stats = led.agg(aggCols.head, aggCols.tail: _*)
+        val stacked = stats.selectExpr("t", "s1", "s2",
+          (1 to 7).map(k => s"$k, n$k, a$k, b$k")
+            .mkString("stack(7, ", ", ", ") as (lag, n, a, b)"))
+        stacked.select(col("lag"),
+          round(
+            (col("n") - (col("s1").cast(DoubleType) / col("t")) * (col("a") + col("b")) +
+              (col("t") - col("lag")) * (col("s1").cast(DoubleType) / col("t")) * (col("s1").cast(DoubleType) / col("t"))) /
+              (col("s2") - col("t") * (col("s1").cast(DoubleType) / col("t")) * (col("s1").cast(DoubleType) / col("t"))),
+            6).as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS x
+                FROM events GROUP BY 1),
+              led AS (
+                SELECT x, lead(x,1) OVER w AS x1, lead(x,2) OVER w AS x2,
+                       lead(x,3) OVER w AS x3, lead(x,4) OVER w AS x4,
+                       lead(x,5) OVER w AS x5, lead(x,6) OVER w AS x6,
+                       lead(x,7) OVER w AS x7
+                FROM daily WINDOW w AS (ORDER BY day)),
+              s AS (
+                SELECT count(*) AS t, CAST(sum(x) AS BIGINT) AS s1,
+                       CAST(sum(x*x) AS BIGINT) AS s2,
+                       CAST(sum(x*x1) AS BIGINT) AS n1, CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS a1, CAST(sum(x1) AS BIGINT) AS b1,
+                       CAST(sum(x*x2) AS BIGINT) AS n2, CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS a2, CAST(sum(x2) AS BIGINT) AS b2,
+                       CAST(sum(x*x3) AS BIGINT) AS n3, CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS a3, CAST(sum(x3) AS BIGINT) AS b3,
+                       CAST(sum(x*x4) AS BIGINT) AS n4, CAST(sum(CASE WHEN x4 IS NOT NULL THEN x END) AS BIGINT) AS a4, CAST(sum(x4) AS BIGINT) AS b4,
+                       CAST(sum(x*x5) AS BIGINT) AS n5, CAST(sum(CASE WHEN x5 IS NOT NULL THEN x END) AS BIGINT) AS a5, CAST(sum(x5) AS BIGINT) AS b5,
+                       CAST(sum(x*x6) AS BIGINT) AS n6, CAST(sum(CASE WHEN x6 IS NOT NULL THEN x END) AS BIGINT) AS a6, CAST(sum(x6) AS BIGINT) AS b6,
+                       CAST(sum(x*x7) AS BIGINT) AS n7, CAST(sum(CASE WHEN x7 IS NOT NULL THEN x END) AS BIGINT) AS a7, CAST(sum(x7) AS BIGINT) AS b7
+                FROM led)
+              SELECT lag,
+                     round((n - (CAST(s1 AS DOUBLE) / t) * (a + b)
+                            + (t - lag) * (CAST(s1 AS DOUBLE) / t) * (CAST(s1 AS DOUBLE) / t))
+                           / (s2 - t * (CAST(s1 AS DOUBLE) / t) * (CAST(s1 AS DOUBLE) / t)), 6) AS acf
+              FROM (
+                SELECT t, s1, s2, 1 AS lag, n1 AS n, a1 AS a, b1 AS b FROM s
+                UNION ALL SELECT t, s1, s2, 2, n2, a2, b2 FROM s
+                UNION ALL SELECT t, s1, s2, 3, n3, a3, b3 FROM s
+                UNION ALL SELECT t, s1, s2, 4, n4, a4, b4 FROM s
+                UNION ALL SELECT t, s1, s2, 5, n5, a5, b5 FROM s
+                UNION ALL SELECT t, s1, s2, 6, n6, a6, b6 FROM s
+                UNION ALL SELECT t, s1, s2, 7, n7, a7, b7 FROM s) u
+              ORDER BY lag""")),
+
+    // EXACT distributed median (lower median, no interpolation) of
+    // o_totalprice per priority — the scalable construction: compress to
+    // (group, value, count) histogram rows (one shuffle), cumulate counts
+    // in value order WITHIN each group, and pick the first value whose
+    // cumulative count reaches ceil(n/2). No stage ever sorts raw rows
+    // globally — the window runs over the compressed histogram, which is
+    // bounded by the value cardinality, not the fact cardinality. The
+    // oracle states the identical construction (engine quantile functions
+    // differ on interpolation, so neither engine's builtin is used).
+    Spec("agg_exact_median",
+      (s, d) => {
+        val counts = t(s, d, "orders")
+          .groupBy(col("o_orderpriority"), col("o_totalprice"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = counts.withColumn("cum", sum("c").over(w))
+        val tot = t(s, d, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        cum.join(broadcast(tot), "o_orderpriority")
+          .where(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("o_orderpriority"), col("n"))
+          .agg(min(col("o_totalprice")).as("median_price"))
+          .select(col("o_orderpriority"), col("median_price"), col("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH counts AS (
+                SELECT o_orderpriority, o_totalprice, count(*) AS c
+                FROM orders GROUP BY 1, 2),
+              cum AS (
+                SELECT o_orderpriority, o_totalprice,
+                       CAST(sum(c) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM counts),
+              tot AS (
+                SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1)
+              SELECT cum.o_orderpriority AS o_orderpriority,
+                     min(o_totalprice) AS median_price, n
+              FROM cum JOIN tot ON cum.o_orderpriority = tot.o_orderpriority
+              WHERE cum >= (n + 1) // 2
+              GROUP BY cum.o_orderpriority, n
+              ORDER BY 1""")),
+
+    // A/B-test readout: two-proportion z-test on high-value-purchase
+    // conversion (value > 90 — plain purchase saturates at p = 1 in this
+    // data, which zeroes the pooled variance) with users split into arms
+    // by user_id parity (the deterministic stand-in for an assignment
+    // column). All counts are exact distinct-user
+    // BIGINTs from ONE pass over events; the z-score is a single
+    // fixed-order float expression over those integers — identical text
+    // both engines, bit-identical result before the display rounding.
+    Spec("evt_ab_ztest",
+      (s, d) => {
+        val byArm = t(s, d, "events")
+          .groupBy((col("user_id") % 2).as("arm"))
+          .agg(countDistinct(col("user_id")).as("n"),
+            countDistinct(when(col("event_type") === "purchase" &&
+              col("value") > 90, col("user_id"))).as("conv"))
+        val one = byArm.agg(
+          sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"),
+          sum(when(col("arm") === 0, col("conv"))).as("conv0"),
+          sum(when(col("arm") === 1, col("conv"))).as("conv1"))
+        val p0 = col("conv0").cast(DoubleType) / col("n0")
+        val p1 = col("conv1").cast(DoubleType) / col("n1")
+        val p = (col("conv0") + col("conv1")).cast(DoubleType) / (col("n0") + col("n1"))
+        one.select(col("n0"), col("n1"), col("conv0"), col("conv1"),
+          round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+          round((p0 - p1) /
+            sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))),
+            6).as("z"))
+      },
+      Some("""WITH by_arm AS (
+                SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n,
+                       count(DISTINCT CASE WHEN event_type = 'purchase'
+                                            AND value > 90
+                                           THEN user_id END) AS conv
+                FROM events GROUP BY 1),
+              one AS (
+                SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS conv0,
+                       CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS conv1
+                FROM by_arm)
+              SELECT n0, n1, conv0, conv1,
+                     round(CAST(conv0 AS DOUBLE) / n0, 6) AS p0,
+                     round(CAST(conv1 AS DOUBLE) / n1, 6) AS p1,
+                     round((CAST(conv0 AS DOUBLE) / n0 - CAST(conv1 AS DOUBLE) / n1)
+                           / sqrt((CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1))
+                                  * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1))
+                                  * (1.0 / n0 + 1.0 / n1)), 6) AS z
+              FROM one""")),
+
+    // Pareto concentration curve: rank users by activity, cut into
+    // deciles, report each decile's share and cumulative share of all
+    // events — the "what fraction of users produce 80% of traffic" read.
+    // The global ntile sorts USERS (one per-user row from a single
+    // groupBy), not events — the same fact-to-entity compression that
+    // makes the exact median scale; ties broken by user_id so the decile
+    // assignment is total. Shares stay exact-integer until one final
+    // division at the 10-row grain.
+    Spec("evt_pareto_share",
+      (s, d) => {
+        val per = t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+        val dec = per.withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("n_ev"), asc("user_id"))))
+        val byDec = dec.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("events"))
+        val wAll = Window.partitionBy()
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDec
+          .withColumn("total", sum(col("events")).over(wAll))
+          .withColumn("cum", sum(col("events")).over(wCum))
+          .select(col("decile"), col("n_users"), col("events"),
+            round(col("events").cast(DoubleType) / col("total"), 6).as("share"),
+            round(col("cum").cast(DoubleType) / col("total"), 6).as("cum_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH per_user AS (
+                SELECT user_id, count(*) AS n_ev FROM events GROUP BY 1),
+              dec AS (
+                SELECT n_ev, ntile(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
+                FROM per_user),
+              by_dec AS (
+                SELECT decile, count(*) AS n_users,
+                       CAST(sum(n_ev) AS BIGINT) AS events
+                FROM dec GROUP BY 1)
+              SELECT decile, n_users, events,
+                     round(CAST(events AS DOUBLE) / total, 6) AS share,
+                     round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+              FROM (
+                SELECT decile, n_users, events,
+                       CAST(sum(events) OVER () AS BIGINT) AS total,
+                       CAST(sum(events) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM by_dec) x
+              ORDER BY decile""")))
+}
