@@ -12,7 +12,7 @@ object SparkEntry {
   /** All declared operator specs, one list per SURVEY.md §2 category. */
   def specs: Seq[Spec] =
     ops.Rel.all ++ ops.Joins.all ++ ops.TpchJoins.all ++ ops.TpchJoins2.all ++ ops.Aggs.all ++
-      ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++
+      ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++ ops.Fns2.all ++
       ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
       ops.TextAnalysis.all ++ ops.SimGraph.all ++
       ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++

@@ -130,6 +130,52 @@ object Analytics2 {
               GROUP BY cum.o_orderpriority, n
               ORDER BY 1""")),
 
+    // Weighted median (quantity-weighted price per return flag) — the
+    // exact-median construction generalized to weights: histogram rows
+    // carry exact-decimal weight sums, and the pick condition is
+    // 2·cum_weight ≥ total_weight, kept entirely in decimal space (no
+    // halving division, no float threshold) so the qualifying boundary is
+    // exact on both engines. Same scale story as agg_exact_median: every
+    // window runs over the value-compressed histogram, never raw facts.
+    Spec("agg_weighted_median",
+      (s, d) => {
+        val wdec = col("l_quantity").cast(DecimalType(30, 2))
+        val counts = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(sum(wdec).as("w"))
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = counts.withColumn("cum", sum("w").over(w))
+        val tot = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(sum(wdec).as("wtot"))
+        cum.join(broadcast(tot), "l_returnflag")
+          .where(col("cum") * 2 >= col("wtot"))
+          .groupBy(col("l_returnflag"), col("wtot"))
+          .agg(min(col("l_extendedprice")).as("wmedian_price"))
+          .select(col("l_returnflag"), col("wmedian_price"),
+            col("wtot").cast(DoubleType).as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH counts AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(CAST(l_quantity AS DECIMAL(30,2))) AS w
+                FROM lineitem GROUP BY 1, 2),
+              cum AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS cum
+                FROM counts),
+              tot AS (
+                SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(30,2))) AS wtot
+                FROM lineitem GROUP BY 1)
+              SELECT cum.l_returnflag AS l_returnflag,
+                     min(l_extendedprice) AS wmedian_price,
+                     CAST(wtot AS DOUBLE) AS total_weight
+              FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+              WHERE cum * 2 >= wtot
+              GROUP BY cum.l_returnflag, wtot
+              ORDER BY 1""")),
+
     // A/B-test readout: two-proportion z-test on high-value-purchase
     // conversion (value > 90 — plain purchase saturates at p = 1 in this
     // data, which zeroes the pooled variance) with users split into arms

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 category H (round 8) — Spark-4 surfaces with no earlier
+  * row: collation-aware comparison semantics and the try_* ANSI-safe
+  * arithmetic family (the session runs ANSI mode, Spark 4's default, so
+  * un-guarded division/indexing THROWS — try_* is the idiomatic
+  * null-on-error escape).
+  */
+object Fns2 {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // Collation semantics (Spark 4 `collate`): the same mixed-case string
+    // column counted distinct under UTF8_BINARY vs UTF8_LCASE. The
+    // mixed-case input is constructed deterministically (even partkeys
+    // upper-cased), and the LCASE distinct equals the count of
+    // case-insensitive equivalence classes — which is what the oracle
+    // states with count(DISTINCT lower(s)), no DuckDB collation needed.
+    // Collation changes the COMPARISON, not the bytes, so the hash agg
+    // plan is unchanged — one shuffle at the (type) grain.
+    Spec("fn_collation",
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_type"),
+          when(col("p_partkey") % 2 === 0, upper(col("p_name")))
+            .otherwise(col("p_name")).as("s"))
+        p.groupBy(col("p_type"))
+          .agg(countDistinct(col("s")).as("n_binary"),
+            countDistinct(expr("collate(s, 'UTF8_LCASE')")).as("n_lcase"))
+          .orderBy("p_type")
+      },
+      Some("""SELECT p_type,
+                count(DISTINCT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                                    ELSE p_name END) AS n_binary,
+                count(DISTINCT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                                          ELSE p_name END)) AS n_lcase
+              FROM part GROUP BY p_type ORDER BY p_type""")),
+
+    // try_* ANSI-safe arithmetic: try_divide nulls out the qty=25 rows
+    // (where the divisor hits zero — plain `/` throws under ANSI), and
+    // try_element_at nulls out-of-bounds array indexes (l_linenumber > 3).
+    // The audit aggregates the null counts exactly and sums the defined
+    // quotients floor-scaled to BIGINT ten-thousandths: floor has no tie
+    // case, so unlike round() — whose half-way behavior on doubles
+    // differs between Spark (decimal-repr HALF_UP) and DuckDB (binary
+    // rounding) — the scaled sum is exact and bit-identical.
+    Spec("fn_try_arith",
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          try_divide(col("l_extendedprice"), col("l_quantity") - 25).as("q"),
+          try_element_at(array(lit("a"), lit("b"), lit("c")),
+            col("l_linenumber")).as("e"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          sum(floor(col("q") * 10000)).as("sum_quotient_scaled"),
+          sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_elem_null")),
+      Some("""SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+                CAST(sum(CASE WHEN l_quantity = 25 THEN NULL
+                         ELSE CAST(floor(l_extendedprice / (l_quantity - 25) * 10000) AS BIGINT)
+                         END) AS BIGINT) AS sum_quotient_scaled,
+                CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null
+              FROM lineitem""")))
+}

@@ -48,7 +48,11 @@ class OracleLintSpec extends AnyFunSuite {
     ("evt_session_stats", "sum(brk)",
       "running break-sum is the session GROUP BY key, never emitted"),
     ("text_repetition", "sum(cnt)",
-      "bigram total consumed by a double ratio, never emitted"))
+      "bigram total consumed by a double ratio, never emitted"),
+    ("agg_weighted_median", "sum(w)",
+      "w is an exact DECIMAL(30,2) weight from the counts CTE — a decimal " +
+        "window sum, not an integer sum, and it is only compared, never " +
+        "emitted"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
