@@ -85,7 +85,8 @@ class SynthTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 
 class SynthScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val rows = options.getLong("rows", 100000L)
   private val numPartitions = options.getInt("numPartitions", 8)
@@ -95,6 +96,8 @@ class SynthScanBuilder(options: CaseInsensitiveStringMap)
   private var lo = 0L // inclusive event_id bound
   private var hi = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var hadResidual = false
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -122,14 +125,102 @@ class SynthScanBuilder(options: CaseInsensitiveStringMap)
       case _ => false
     }
     pushed = consumed
+    hadResidual = residual.nonEmpty
     residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SynthScan(rows, numPartitions, seed, requiredSchema, lo, math.max(lo, hi))
+  // Aggregate pushdown — the statistics short-circuit a warehouse source
+  // implements: because this source is a closed-form id range [lo, hi),
+  // COUNT(*), COUNT(col) (no column is nullable), COUNT(DISTINCT
+  // event_id), and MIN/MAX(event_id) are answerable AT PLANNING TIME
+  // with zero rows generated — the scan returns ONE pre-aggregated row.
+  // `supportCompletePushDown` returns true only for shapes this holds
+  // for: no GROUP BY, no residual (post-scan) filter — a residual would
+  // make the closed form wrong, and Spark only skips its own aggregate
+  // when the pushdown is declared complete. Anything else (min/max of a
+  // generated column, grouped aggs) is declined and executes as a normal
+  // scan + Spark aggregate.
+  private def closedForm(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (hadResidual || agg.groupByExpressions().nonEmpty) return None
+    val n = math.max(0L, math.max(lo, hi) - lo)
+    def isEventId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("event_id")
+        case _ => false
+      }
+    def isAnyField(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e.isInstanceOf[NamedReference]
+    val resolved: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions().toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          Some(StructField(s"agg_$i", LongType, nullable = false) -> n)
+        case (c: Count, i) if isAnyField(c.column) &&
+            (!c.isDistinct || isEventId(c.column)) =>
+          // every generated column is non-null, so COUNT(col) = n; the id
+          // column is additionally unique, so its DISTINCT count = n too
+          Some(StructField(s"agg_$i", LongType, nullable = false) -> n)
+        case (m: Min, i) if isEventId(m.column) =>
+          Some(StructField(s"agg_$i", LongType, nullable = true) ->
+            (if (n > 0) lo else null))
+        case (m: Max, i) if isEventId(m.column) =>
+          Some(StructField(s"agg_$i", LongType, nullable = true) ->
+            (if (n > 0) math.max(lo, hi) - 1 else null))
+        case _ => None
+      }
+    if (resolved.exists(_.isEmpty)) None
+    else Some((StructType(resolved.flatten.map(_._1)), resolved.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    closedForm(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    closedForm(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new SynthAggScan(schema, row)
+    case None =>
+      new SynthScan(rows, numPartitions, seed, requiredSchema, lo, math.max(lo, hi))
+  }
 }
+
+/** The one-row pre-aggregated scan produced by a complete aggregate
+  * pushdown: no generator loop runs — the row was computed in closed form
+  * on the driver at planning time and is replayed by a single split.
+  */
+class SynthAggScan(schema: StructType, row: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_synth AGG-PUSHED ${schema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(p.asInstanceOf[SynthAggPartition].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class SynthAggPartition(values: Seq[Any]) extends InputPartition
 
 case class SynthInputPartition(start: Long, end: Long, seed: Long) extends InputPartition
 

@@ -89,6 +89,39 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(read(rows = 12345, parts = 3).count() == 12345)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered in closed form, zero rows generated") {
+    val df = read(rows = 100000, parts = 8)
+      .where(col("event_id") >= 100L && col("event_id") < 5000L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn"),
+        max("event_id").as("mx"), countDistinct("event_id").as("nd"))
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4900L, 100L, 4999L, 4900L))
+    // the physical scan is the one-row pre-aggregated scan, not a generator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHED"),
+      s"aggregate not pushed:\n${plan.linesIterator.take(12).mkString("\n")}")
+  }
+
+  test("aggregate pushdown declines when the closed form would be wrong") {
+    // residual (non-id) filter: count must run over generated rows
+    val resid = read(rows = 10000, parts = 4)
+      .where(col("event_type") === "click").agg(count(lit(1)))
+    assert(!resid.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    assert(resid.head.getLong(0) > 0)
+    // grouped aggregate: declined
+    val grouped = read(rows = 1000, parts = 2).groupBy("user_id").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    assert(grouped.count() > 0)
+    // min/max of a GENERATED column (not closed-form): declined, and the
+    // value matches a manual reduction over the shared generator
+    val mm = read(rows = 1000, parts = 2).agg(max("user_id"))
+    assert(!mm.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    val expected = (0L until 1000L).map(id =>
+      graft.sources.SynthSource.userId(42, id)).max
+    assert(mm.head.getLong(0) == expected)
+  }
+
   test("source rows match the shared generator functions exactly") {
     val local = (0L until 100L).map(id => (id,
       graft.sources.SynthSource.userId(42, id),
