@@ -271,5 +271,100 @@ object Analytics2 {
                        CAST(sum(events) OVER (ORDER BY decile
                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
                 FROM by_dec) x
-              ORDER BY decile""")))
+              ORDER BY decile""")),
+
+    // New-vs-returning daily split: each (day, user) pair is classified
+    // by whether the day is the user's first-seen day. Both relations
+    // live at compressed grains — (day, user) distinct and (user,
+    // first_day) — and the classifying join shuffles on user_id, the key
+    // both sides already hash to, so AQE plans one co-partitioned
+    // exchange pair and the per-day counts are a bounded final agg.
+    Spec("evt_new_vs_returning",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("ts").cast("date").as("day"),
+          col("user_id"))
+        val daily = ev.distinct()
+        val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        daily.join(first, "user_id")
+          .groupBy(col("day"))
+          .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+            sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+              .as("n_returning"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+              first AS (
+                SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1)
+              SELECT day,
+                CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT) AS n_returning
+              FROM ev JOIN first USING (user_id)
+              GROUP BY day ORDER BY day""")),
+
+    // Day-of-week seasonality index: mean daily volume per weekday over
+    // the overall mean — the companion read to ts_autocorr's lag-7 spike.
+    // Integer sufficient statistics per weekday (sum, day count) and
+    // globally (S, T); the index is one fixed-order float expression.
+    // Weekday numbering is pinned Sunday=1..Saturday=7 on both engines.
+    Spec("evt_dow_seasonality",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val byDow = daily.groupBy(dayofweek(col("day")).as("dow"))
+          .agg(sum(col("x")).as("sum_x"), count(lit(1)).as("n_days"))
+        val tot = daily.agg(sum(col("x")).as("s"), count(lit(1)).as("t"))
+        byDow.join(broadcast(tot))
+          .select(col("dow"), col("sum_x"), col("n_days"),
+            round((col("sum_x").cast(DoubleType) / col("n_days")) /
+              (col("s").cast(DoubleType) / col("t")), 6).as("idx"))
+          .orderBy("dow")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS x
+                FROM events GROUP BY 1),
+              by_dow AS (
+                SELECT dayofweek(day) + 1 AS dow, CAST(sum(x) AS BIGINT) AS sum_x,
+                       count(*) AS n_days
+                FROM daily GROUP BY 1),
+              tot AS (
+                SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS t FROM daily)
+              SELECT dow, sum_x, n_days,
+                     round((CAST(sum_x AS DOUBLE) / n_days)
+                           / (CAST(s AS DOUBLE) / t), 6) AS idx
+              FROM by_dow, tot ORDER BY dow""")),
+
+    // Incremental aggregation via mergeable partials — the materialized-
+    // view maintenance shape: per-day partial stats (count / exact-decimal
+    // sum / min / max) roll up to weekly by MERGING partials, never
+    // rescanning facts. The oracle aggregates the facts directly at the
+    // weekly grain, so a hash match PROVES the partial-merge associativity
+    // the incremental pipeline depends on. Weeks truncate Monday-first on
+    // both engines.
+    Spec("agg_incremental_merge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val partials = li.groupBy(col("l_shipdate").cast("date").as("day"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("c"),
+            sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("sdec"),
+            min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"))
+        partials
+          .groupBy(date_trunc("week", col("day")).cast("date").as("week"),
+            col("l_returnflag"))
+          .agg(sum(col("c")).as("n_items"),
+            round(sum(col("sdec")), 2).cast(DoubleType).as("revenue"),
+            min(col("mn")).as("min_price"), max(col("mx")).as("max_price"))
+          .orderBy("week", "l_returnflag")
+      },
+      Some("""SELECT CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS week,
+                     l_returnflag, count(*) AS n_items,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
+                     min(l_extendedprice) AS min_price,
+                     max(l_extendedprice) AS max_price
+              FROM lineitem
+              GROUP BY 1, 2 ORDER BY week, l_returnflag""")))
 }
