@@ -366,5 +366,73 @@ object Analytics2 {
                      min(l_extendedprice) AS min_price,
                      max(l_extendedprice) AS max_price
               FROM lineitem
-              GROUP BY 1, 2 ORDER BY week, l_returnflag""")))
+              GROUP BY 1, 2 ORDER BY week, l_returnflag""")),
+
+    // Spark 4 SQL session variables: DECLARE + SET VAR, with the variable
+    // INITIALIZED FROM A SUBQUERY (max is exact, so the derived threshold
+    // is bit-deterministic) and consumed in both a predicate and the
+    // output. The oracle states the desugared form with the defining
+    // subquery inlined — semantically what variable substitution does.
+    Spec("sql_session_variables",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE")
+        s.sql("SET VAR price_cut = (SELECT max(o_totalprice) FROM orders) / 2")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_big,
+                   round(price_cut, 2) AS cut_used
+                 FROM orders WHERE o_totalprice > price_cut
+                 GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_big,
+                round((SELECT max(o_totalprice) FROM orders) / 2, 2) AS cut_used
+              FROM orders
+              WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Named-parameter SQL (spark.sql(text, args)): the injection-safe
+    // templating API — parameters bind as typed literals at parse time,
+    // never string-spliced. The oracle is the same text with the
+    // bindings inlined.
+    Spec("sql_parameterized",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS bal
+             FROM customer
+             WHERE c_acctbal > :minbal AND c_mktsegment <> :seg
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+          Map("minbal" -> 1000, "seg" -> "BUILDING"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS bal
+              FROM customer
+              WHERE c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Spark 4 SQL scripting (BEGIN … END with procedural control flow):
+    // a WHILE loop computes the quantity threshold (2^5 = 32) in script
+    // variables, then the final statement — the script's result —
+    // filters on it. Control flow runs on the DRIVER over scalar
+    // variables; the data-path statement is ordinary Catalyst SQL, so
+    // scripting adds orchestration without touching the execution plan.
+    Spec("sql_scripting",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""BEGIN
+                   DECLARE i INT DEFAULT 0;
+                   DECLARE cut DOUBLE DEFAULT 1.0;
+                   WHILE i < 5 DO
+                     SET cut = cut * 2;
+                     SET i = i + 1;
+                   END WHILE;
+                   SELECT l_returnflag, count(*) AS n_over,
+                          round(cut, 2) AS cut_used
+                   FROM lineitem WHERE l_quantity > cut
+                   GROUP BY l_returnflag ORDER BY l_returnflag;
+                 END""")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_over, 32.0 AS cut_used
+              FROM lineitem WHERE l_quantity > 32.0
+              GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }
