@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedIntersectCountExpr(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NGramsGenerator].getName, "ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"ngrams expects 2 arguments (array<string>, int), got ${exprs.length}")
+        graft.functions.NGramsGenerator(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantilesAgg].getName, "kll_quantiles"),
       graft.functions.KllQuantilesAgg.builder _))

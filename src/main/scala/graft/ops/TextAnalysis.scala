@@ -98,6 +98,34 @@ object TextAnalysis {
                SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
                GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // Top-20 TRIgrams via the native `ngrams` GENERATOR
+    // (graft.functions.NGramsGenerator) — the zero-shuffle alternative to
+    // the lead()-window construction above: grams are emitted inside the
+    // scan's pipeline by a Generate node (same operator class as
+    // explode), so no token stream is ever exchanged or sorted just to
+    // see adjacent tokens, and the gram width is a parameter instead of
+    // one lead() column per position. The oracle builds the same trigrams
+    // with two window leads — agreement proves the generator's sliding
+    // semantics.
+    Spec("text_ngram_native",
+      (s, d) => {
+        graft.functions.NGramsGenerator.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql("""WITH tk AS (SELECT doc_id, split(text, ' ') AS toks
+                             FROM documents),
+                 g AS (SELECT doc_id, pos, gram
+                       FROM tk LATERAL VIEW ngrams(toks, 3) t AS pos, gram)
+                 SELECT gram, count(*) AS n FROM g
+                 GROUP BY gram ORDER BY n DESC, gram LIMIT 20""")
+      },
+      Some(s"""WITH $toksSql,
+               g AS (
+                 SELECT token || ' ' || lead(token, 1) OVER w
+                        || ' ' || lead(token, 2) OVER w AS gram
+                 FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+               SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
+               GROUP BY gram ORDER BY n DESC, gram LIMIT 20""")),
+
     // TF-IDF top-k terms per document — the corpus-ranking staple. Shape
     // at 100 TB: two-phase hash aggregate to (doc, token) grain, a
     // token-keyed shuffle join against document frequencies (both sides
