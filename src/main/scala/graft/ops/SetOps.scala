@@ -59,6 +59,28 @@ object SetOps {
               SELECT 'except_all' AS op, nationkey FROM (
                 SELECT c_nationkey AS nationkey FROM customer
                 EXCEPT ALL SELECT s_nationkey FROM supplier)
-              ORDER BY op, nationkey"""))
+              ORDER BY op, nationkey""")),
+
+    // Schema-evolution union: two relations with PARTIALLY overlapping
+    // columns combined by NAME, absent columns null-filled — the shape
+    // every multi-source ingest hits when shard schemas drift. Spark's
+    // `unionByName(allowMissingColumns = true)` resolves by name at plan
+    // time (still a zero-shuffle concat); the oracle states the ANSI
+    // desugaring (explicit NULL-typed columns in positional UNION ALL).
+    Spec("set_union_by_name",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_custkey").as("id"),
+          col("c_acctbal").as("bal"), lit("cust").as("src"))
+        val p = t(s, d, "supplier").select(col("s_suppkey").as("id"),
+          col("s_name").as("name"), lit("supp").as("src"))
+        c.unionByName(p, allowMissingColumns = true).orderBy("src", "id")
+      },
+      Some("""SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src,
+                     CAST(NULL AS VARCHAR) AS name
+              FROM customer
+              UNION ALL
+              SELECT s_suppkey, CAST(NULL AS DOUBLE), 'supp', s_name
+              FROM supplier
+              ORDER BY src, id"""))
   )
 }

@@ -315,6 +315,22 @@ object Windows {
               ORDER BY revenue DESC, l_orderkey, l_linenumber, l_quantity
               LIMIT 20""")),
 
+    // Keyset-free pagination: ORDER BY + OFFSET/LIMIT (page 3 of 20).
+    // Spark plans offset+limit into one CollectLimit over the sorted
+    // stream — the skip happens after the top-(offset+limit) heap merge,
+    // so the cluster never materializes the full sort; still, OFFSET
+    // depth is O(offset+limit) work, which is why deep pagination at
+    // 100 TB should switch to keyset (WHERE sortkey < last_seen) — this
+    // query pins the shallow-page fast path.
+    Spec("sort_limit_offset",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(40).limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 20 OFFSET 40""")),
+
     // Gap fill by last-observation-carried-forward (IGNORE NULLS): the
     // sparse-to-dense series repair every sensor/price/feature pipeline
     // runs — only 'purchase' rows carry a value, every other event
