@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{Spec, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category K (round 8, tranche 3) — corpus-composition ops:
+  * deterministic mixture sampling across sources and a Gopher-style
+  * bundled quality-rule audit. Both are pure per-row work feeding one
+  * distributed groupBy — the shapes that stay scan-bound at 100 TB.
+  */
+object LlmOps3 {
+  import Tables._
+
+  val all: Seq[Spec] = Seq(
+    // Data-mixture sampling: per-language target rates applied with
+    // content-hash acceptance (the md5-prefix uniform from sample_hash /
+    // sample_split). Rates are expressed as a 2-hex-digit threshold over
+    // the first md5 byte — en keeps everything, de/fr half, es a
+    // quarter, zh an eighth — so acceptance is a lexicographic string
+    // compare (fixed-width lowercase hex orders numerically) and the
+    // SAME docs are chosen on every engine, run, and partitioning; the
+    // mixture is re-weighable by changing thresholds WITHOUT re-shuffling
+    // anything. Reports achieved per-language counts vs the target rate
+    // in 1/256ths — the sanity readout before launching a training run.
+    Spec("sample_mixture",
+      (s, d) => {
+        val thr = when(col("lang") === "en", lit("zz"))
+          .when(col("lang").isin("de", "fr"), lit("80"))
+          .when(col("lang") === "es", lit("40"))
+          .otherwise(lit("20"))
+        t(s, d, "documents")
+          .withColumn("keep", substring(md5(col("text")), 1, 2) < thr)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_sampled"),
+            sum(when(col("keep"), col("n_chars"))).cast("long").as("sampled_chars"))
+          .withColumn("target_x256",
+            when(col("lang") === "en", lit(256L))
+              .when(col("lang").isin("de", "fr"), lit(128L))
+              .when(col("lang") === "es", lit(64L))
+              .otherwise(lit(32L)))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, n_docs, n_sampled, sampled_chars,
+                CASE WHEN lang = 'en' THEN 256
+                     WHEN lang IN ('de', 'fr') THEN 128
+                     WHEN lang = 'es' THEN 64 ELSE 32 END AS target_x256
+              FROM (
+                SELECT lang, count(*) AS n_docs,
+                  count(CASE WHEN substring(md5(text), 1, 2) <
+                    (CASE WHEN lang = 'en' THEN 'zz'
+                          WHEN lang IN ('de', 'fr') THEN '80'
+                          WHEN lang = 'es' THEN '40' ELSE '20' END)
+                    THEN 1 END) AS n_sampled,
+                  CAST(sum(CASE WHEN substring(md5(text), 1, 2) <
+                    (CASE WHEN lang = 'en' THEN 'zz'
+                          WHEN lang IN ('de', 'fr') THEN '80'
+                          WHEN lang = 'es' THEN '40' ELSE '20' END)
+                    THEN n_chars END) AS BIGINT) AS sampled_chars
+                FROM documents GROUP BY lang)
+              ORDER BY lang""")),
+
+    // Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1, bounds
+    // tuned to the 10-99-token fixture docs so each rule both passes and
+    // fails real rows): per-language violation counts for four
+    // independent rules and the all-rules pass rate.
+    //   r_len : token count within [30, 80]
+    //   r_mwl : mean word length within [4.3, 4.7]  (10·Σchars vs 43·n /
+    //           47·n — integer cross-multiplication, no float division)
+    //   r_stop: ≥ 2 distinct common-word hits (the/and/of/to/a/in)
+    //   r_rep : duplicate-token fraction ≤ 50%  (2·(n−distinct) ≤ n)
+    // Every comparison is exact integer arithmetic; one groupBy(lang)
+    // after per-row flag computation — scan-bound, shuffle only on the
+    // 5-row lang grain. The pass rate is floor-scaled to basis points
+    // (integer division — no rounding tie).
+    Spec("text_gopher_rules",
+      (s, d) => {
+        val stops = array(Seq("the", "and", "of", "to", "a", "in").map(lit): _*)
+        val base = t(s, d, "documents")
+          .withColumn("arr", split(col("text"), " "))
+          .withColumn("n", size(col("arr")).cast("long"))
+          .withColumn("nd", size(array_distinct(col("arr"))).cast("long"))
+          .withColumn("cs",
+            aggregate(col("arr"), lit(0L), (a, x) => a + length(x)))
+          .withColumn("nstop",
+            size(array_distinct(array_intersect(col("arr"), stops))).cast("long"))
+          .withColumn("ok_len", col("n") >= 30 && col("n") <= 80)
+          .withColumn("ok_mwl",
+            lit(10L) * col("cs") >= lit(43L) * col("n") &&
+              lit(10L) * col("cs") <= lit(47L) * col("n"))
+          .withColumn("ok_stop", col("nstop") >= 2)
+          .withColumn("ok_rep", lit(2L) * (col("n") - col("nd")) <= col("n"))
+        base.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(!col("ok_len"), 1)).as("fail_len"),
+            count(when(!col("ok_mwl"), 1)).as("fail_mwl"),
+            count(when(!col("ok_stop"), 1)).as("fail_stop"),
+            count(when(!col("ok_rep"), 1)).as("fail_rep"),
+            count(when(col("ok_len") && col("ok_mwl") &&
+              col("ok_stop") && col("ok_rep"), 1)).as("n_pass"))
+          .withColumn("pass_bp",
+            expr("(10000 * n_pass) div n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (
+                SELECT lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+                  list_reduce(list_transform(string_split(text, ' '),
+                    x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS cs,
+                  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'and', 'of', 'to', 'a', 'in')))) AS BIGINT) AS nstop
+                FROM documents),
+              r AS (
+                SELECT lang,
+                  (n >= 30 AND n <= 80) AS ok_len,
+                  (10 * cs >= 43 * n AND 10 * cs <= 47 * n) AS ok_mwl,
+                  (nstop >= 2) AS ok_stop,
+                  (2 * (n - nd) <= n) AS ok_rep
+                FROM f)
+              SELECT lang, n_docs, fail_len, fail_mwl, fail_stop, fail_rep,
+                n_pass, (10000 * n_pass) // n_docs AS pass_bp
+              FROM (
+                SELECT lang, count(*) AS n_docs,
+                  count(CASE WHEN NOT ok_len THEN 1 END) AS fail_len,
+                  count(CASE WHEN NOT ok_mwl THEN 1 END) AS fail_mwl,
+                  count(CASE WHEN NOT ok_stop THEN 1 END) AS fail_stop,
+                  count(CASE WHEN NOT ok_rep THEN 1 END) AS fail_rep,
+                  count(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep
+                    THEN 1 END) AS n_pass
+                FROM r GROUP BY lang)
+              ORDER BY lang"""))
+  )
+}

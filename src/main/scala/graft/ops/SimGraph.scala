@@ -602,6 +602,106 @@ object SimGraph {
               SELECT doc_id, rec.lang AS lang, rec.n_chars AS n_chars,
                 rec.l2_norm AS l2_norm, rec.label AS label
               FROM j WHERE rec.lang IN ('en', 'fr') AND rec.label < 5
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Two-stage retrieve-then-rerank — the canonical production ANN
+    // serving pipeline (coarse compressed index → exact rerank of a
+    // small candidate set): stage 1 ranks the corpus by INT8-quantized
+    // cosine (sim_quantized_recall's exact-BIGINT dot products) and keeps
+    // top-20 candidates per probe; stage 2 recomputes EXACT cosine for
+    // those 20 only and keeps top-5. The audit reports recall@5 against
+    // the exact top-5 — by construction ≥ the single-stage quantized
+    // recall (rerank can only fix stage-1 ordering errors inside the
+    // candidate set; it cannot recover a neighbor stage 1 dropped). At
+    // 100 TB the full scan touches only 1-byte codes and the float math
+    // runs on 20 rows/probe; the full exact scan here is the
+    // fixture-scale referee, not part of the served path.
+    Spec("sim_retrieve_rerank",
+      (s, d) => {
+        val qv = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .withColumn("mx",
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .withColumn("q",
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(127.0) / col("mx")).cast("long")))
+          .withColumn("qn",
+            aggregate(transform(col("q"), v => v * v), lit(0L), (a, v) => a + v))
+          .select("vec_id", "q", "qn")
+        val p = qv.where(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("q").as("pq"), col("qn").as("pqn"))
+        val qcos = qv.join(broadcast(p), col("vec_id") =!= col("p_id"))
+          .withColumn("dq",
+            aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v))
+          .select(col("p_id"), col("vec_id"),
+            round(col("dq").cast("double") /
+              sqrt((col("pqn") * col("qn")).cast("double")), 6).as("qcos"))
+        val wQ = Window.partitionBy("p_id").orderBy(desc("qcos"), asc("vec_id"))
+        val cand = qcos.withColumn("rnk", row_number().over(wQ))
+          .where(col("rnk") <= 20).select("p_id", "vec_id")
+        val exact = cosine(s, d, col("vec_id") < 5)
+        val wR = Window.partitionBy("p_id").orderBy(desc("cosine"), asc("vec_id"))
+        val rtop = cand.join(exact, Seq("p_id", "vec_id"))
+          .withColumn("rnk", row_number().over(wR))
+          .where(col("rnk") <= 5).select("p_id", "vec_id")
+        val etop = exact.withColumn("rnk", row_number().over(wR))
+          .where(col("rnk") <= 5).select("p_id", "vec_id")
+        val hits = rtop.join(etop, Seq("p_id", "vec_id"))
+          .groupBy("p_id").agg(count(lit(1)).as("c"))
+        etop.select("p_id").distinct()
+          .join(hits, Seq("p_id"), "left")
+          .select(col("p_id"),
+            coalesce(col("c"), lit(0L)).as("n_hit"),
+            round(coalesce(col("c"), lit(0L)) / lit(5.0), 2).as("recall5"))
+          .orderBy("p_id")
+      },
+      Some(s"""WITH ${cosineSql("p.vec_id < 5")},
+               qv AS (
+                 SELECT vec_id,
+                   list_transform(embedding, x -> CAST(floor(
+                     CAST(x AS DOUBLE) * 127.0 /
+                     list_aggregate(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE))), 'max')) AS BIGINT)) AS q
+                 FROM embeddings),
+               qn AS (
+                 SELECT vec_id, q,
+                   list_reduce(list_transform(q, v -> v * v),
+                     (a, b) -> a + b) AS qn
+                 FROM qv),
+               qcos AS (
+                 SELECT p.vec_id AS p_id, v.vec_id,
+                   round(CAST(list_reduce(list_transform(list_zip(p.q, v.q),
+                       z -> z[1] * z[2]), (a, b) -> a + b) AS DOUBLE)
+                     / sqrt(CAST(p.qn * v.qn AS DOUBLE)), 6) AS qcos
+                 FROM qn p JOIN qn v ON v.vec_id <> p.vec_id
+                 WHERE p.vec_id < 5),
+               cand AS (
+                 SELECT p_id, vec_id FROM (
+                   SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+                     ORDER BY qcos DESC, vec_id) AS rnk
+                   FROM qcos) WHERE rnk <= 20),
+               rtop AS (
+                 SELECT p_id, vec_id FROM (
+                   SELECT c.p_id, c.vec_id, cosine,
+                     row_number() OVER (PARTITION BY c.p_id
+                       ORDER BY cosine DESC, c.vec_id) AS rnk
+                   FROM cand c JOIN cosv v
+                     ON c.p_id = v.p_id AND c.vec_id = v.vec_id)
+                 WHERE rnk <= 5),
+               etop AS (
+                 SELECT p_id, vec_id FROM (
+                   SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+                     ORDER BY cosine DESC, vec_id) AS rnk
+                   FROM cosv) WHERE rnk <= 5),
+               hits AS (
+                 SELECT r.p_id, CAST(count(*) AS BIGINT) AS c
+                 FROM rtop r JOIN etop e
+                   ON r.p_id = e.p_id AND r.vec_id = e.vec_id
+                 GROUP BY r.p_id)
+               SELECT p.p_id, coalesce(h.c, 0) AS n_hit,
+                 round(coalesce(h.c, 0) / 5.0, 2) AS recall5
+               FROM (SELECT DISTINCT p_id FROM etop) p
+                 LEFT JOIN hits h ON p.p_id = h.p_id
+               ORDER BY p.p_id"""))
   )
 }
