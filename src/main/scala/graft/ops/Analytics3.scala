@@ -88,6 +88,85 @@ object Analytics3 {
               SELECT day, abs(t * cum_x - k * s1) AS score
               FROM cum
               ORDER BY score DESC, day
-              LIMIT 1"""))
+              LIMIT 1""")),
+
+    // Gini coefficient of per-user event volume — the standard
+    // concentration metric (0 = uniform, →1 = one user dominates).
+    // Computed from the rank formula G = (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i)
+    // with x ascending: every sum is an exact BIGINT over the COMPRESSED
+    // user grain (the fact scan reduces to one row per user first — the
+    // evt_pareto_share pattern), so the unpartitioned rank window is a
+    // deliberate small-relation stage; swapping tied x values cannot
+    // change Σi·x_i, so the (x, user_id) tiebreak is for rank determinism
+    // only. One final fixed-order float expression, no rounding tricks.
+    Spec("evt_gini",
+      (s, d) => {
+        val u = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("x", "user_id")
+        val r = u.select(col("x"), row_number().over(w).cast("long").as("i"))
+        r.agg(count(lit(1)).as("n"), sum("x").as("s1"),
+            sum(col("i") * col("x")).as("swi"))
+          .select(col("n").as("n_users"), col("s1").as("total_events"),
+            round((lit(2.0) * col("swi") - (col("n") + lit(1L)) * col("s1")) /
+              (lit(1.0) * col("n") * col("s1")), 6).as("gini"))
+      },
+      Some("""WITH u AS (
+                SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+              r AS (
+                SELECT x, CAST(row_number() OVER (ORDER BY x, user_id)
+                  AS BIGINT) AS i
+                FROM u),
+              s AS (
+                SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+                       CAST(sum(i * x) AS BIGINT) AS swi
+                FROM r)
+              SELECT n AS n_users, s1 AS total_events,
+                     round((2.0 * swi - (n + 1) * s1) / (1.0 * n * s1), 6)
+                       AS gini
+              FROM s""")),
+
+    // Benford first-digit audit of o_totalprice — the classic fraud /
+    // data-fabrication screen. The leading digit comes from the INTEGER
+    // part's decimal string (floor → BIGINT → first char), never from
+    // log10 on a double, so digit assignment is exact on both engines;
+    // expected Benford shares are pinned as integer basis-point literals
+    // (log10(1+1/d) pre-rounded) rather than computed through each
+    // engine's libm. Shares are floor-scaled integer division over a
+    // 9-row digit grain with an unbounded-frame total — no float, no
+    // second aggregation, no 1-row join.
+    Spec("agg_benford",
+      (s, d) => {
+        val wAll = Window.orderBy("digit")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .withColumn("digit",
+            expr("substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1)"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(wAll))
+          .withColumn("share_bp", expr("(10000 * n) div total"))
+          .drop("total")
+          .withColumn("benford_bp",
+            expr("""CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761
+                    WHEN '3' THEN 1249 WHEN '4' THEN 969 WHEN '5' THEN 792
+                    WHEN '6' THEN 669 WHEN '7' THEN 580 WHEN '8' THEN 512
+                    ELSE 458 END"""))
+          .orderBy("digit")
+      },
+      Some("""SELECT digit, n, (10000 * n) // total AS share_bp,
+                CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761
+                  WHEN '3' THEN 1249 WHEN '4' THEN 969 WHEN '5' THEN 792
+                  WHEN '6' THEN 669 WHEN '7' THEN 580 WHEN '8' THEN 512
+                  ELSE 458 END AS benford_bp
+              FROM (
+                SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit,
+                       count(*) AS n,
+                       CAST(sum(count(*)) OVER (ORDER BY substring(
+                         CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         UNBOUNDED FOLLOWING) AS BIGINT) AS total
+                FROM orders GROUP BY 1)
+              ORDER BY digit"""))
   )
 }

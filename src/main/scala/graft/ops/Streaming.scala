@@ -426,6 +426,52 @@ object Streaming {
       Some("""SELECT event_id, user_id, c_mktsegment AS segment,
                 c_acctbal AS acctbal
               FROM events JOIN customer ON user_id = c_custkey
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // Stream-stream LEFT OUTER join: every click, null-extended when no
+    // purchase follows within 30 min. Outer emission is WATERMARK-DRIVEN
+    // state eviction: a click's null row can only be emitted once the
+    // join engine knows no matching purchase can still arrive — i.e. when
+    // the event-time watermark (the MIN across the two watermarked
+    // inputs: least(max c_ts, max p_ts) − 2 h) passes the click's match
+    // window end (c_ts + 30 min). The AvailableNow drain therefore
+    // WITHHOLDS unmatched clicks from the final ~2.5 h of the feed — not
+    // a bug but the semantics an unbounded run has at every instant; the
+    // oracle states exactly that cutoff predicate (matched rows always
+    // emit; null rows require c_ts + 30 min below the watermark).
+    Spec("stream_outer_join",
+      (s, d) => StreamRunner.run(s, Seq(ev(s, d)), schemaOf(s, d), "append",
+        cacheKey = s"single|$d", drainKey = s"ssouter|$d") { src =>
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        clicks.join(purchases,
+          col("p_user") === col("c_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+          .select(col("c_id"), col("p_id"), col("c_user").as("user_id"))
+      }.orderBy(asc("c_id"), asc_nulls_first("p_id")),
+      Some("""WITH c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              -- the engine's global watermark is the MIN across both
+              -- watermarked inputs: least(max c_ts, max p_ts) - 2 h
+              mx AS (SELECT least((SELECT max(c_ts) FROM c),
+                                  (SELECT max(p_ts) FROM p))
+                            - INTERVAL 2 HOUR AS wm),
+              j AS (SELECT c_id, p_id, c_user, c_ts
+                    FROM c LEFT JOIN p
+                      ON p_user = c_user AND p_ts >= c_ts
+                     AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+              SELECT c_id, p_id, c_user AS user_id
+              FROM j, mx
+              WHERE p_id IS NOT NULL
+                 OR c_ts + INTERVAL 30 MINUTE < wm
+              ORDER BY c_id, p_id NULLS FIRST"""))
   )
 }
