@@ -167,6 +167,52 @@ object Analytics3 {
                          1, 1) ROWS BETWEEN UNBOUNDED PRECEDING AND
                          UNBOUNDED FOLLOWING) AS BIGINT) AS total
                 FROM orders GROUP BY 1)
-              ORDER BY digit"""))
+              ORDER BY digit""")),
+
+    // Quantity-weighted p25/p50/p75 — agg_weighted_median's histogram
+    // construction generalized to arbitrary quantiles: ONE cumulative
+    // pass over the value-compressed (group, price, Σweight) histogram,
+    // then three conditional-min picks with cross-multiplied decimal
+    // thresholds (4·cum ≥ wtot, 2·cum ≥ wtot, 4·cum ≥ 3·wtot) — no
+    // division, no interpolation, no engine quantile function. The
+    // window runs over the histogram grain, never raw facts.
+    Spec("agg_weighted_percentile",
+      (s, d) => {
+        val wdec = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(30, 2))
+        val counts = t(s, d, "lineitem")
+          .groupBy(col("l_linestatus"), col("l_extendedprice"))
+          .agg(sum(wdec).as("w"))
+        val w = Window.partitionBy("l_linestatus").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = counts.withColumn("cum", sum("w").over(w))
+        val tot = t(s, d, "lineitem").groupBy(col("l_linestatus"))
+          .agg(sum(wdec).as("wtot"))
+        cum.join(broadcast(tot), "l_linestatus")
+          .groupBy("l_linestatus")
+          .agg(
+            min(when(col("cum") * 4 >= col("wtot"), col("l_extendedprice"))).as("wp25"),
+            min(when(col("cum") * 2 >= col("wtot"), col("l_extendedprice"))).as("wp50"),
+            min(when(col("cum") * 4 >= col("wtot") * 3, col("l_extendedprice"))).as("wp75"))
+          .orderBy("l_linestatus")
+      },
+      Some("""WITH counts AS (
+                SELECT l_linestatus, l_extendedprice,
+                       sum(CAST(l_quantity AS DECIMAL(30,2))) AS w
+                FROM lineitem GROUP BY 1, 2),
+              cum AS (
+                SELECT l_linestatus, l_extendedprice,
+                       sum(w) OVER (PARTITION BY l_linestatus
+                         ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS cum
+                FROM counts),
+              tot AS (
+                SELECT l_linestatus, sum(CAST(l_quantity AS DECIMAL(30,2))) AS wtot
+                FROM lineitem GROUP BY 1)
+              SELECT cum.l_linestatus AS l_linestatus,
+                     min(CASE WHEN cum * 4 >= wtot THEN l_extendedprice END) AS wp25,
+                     min(CASE WHEN cum * 2 >= wtot THEN l_extendedprice END) AS wp50,
+                     min(CASE WHEN cum * 4 >= wtot * 3 THEN l_extendedprice END) AS wp75
+              FROM cum JOIN tot ON cum.l_linestatus = tot.l_linestatus
+              GROUP BY cum.l_linestatus
+              ORDER BY 1"""))
   )
 }

@@ -63,5 +63,27 @@ object Fns2 {
                          ELSE CAST(floor(l_extendedprice / (l_quantity - 25) * 10000) AS BIGINT)
                          END) AS BIGINT) AS sum_quotient_scaled,
                 CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null
-              FROM lineitem""")))
+              FROM lineitem""")),
+
+    // AES-GCM encrypt/decrypt round trip — the column-level-encryption
+    // primitive (PII vaulting, envelope encryption). GCM picks a random
+    // IV per call, so the CIPHERTEXT is non-deterministic and never
+    // emitted; what IS deterministic — and what the oracle pins — is the
+    // inverse property (decrypt ∘ encrypt = id, checked per row) and the
+    // ciphertext LENGTH (12-byte IV + payload + 16-byte tag). DuckDB has
+    // no AES surface, so the oracle states the algebraic expectation
+    // directly: ok = true, ct_len = n_chars + 28. Pure per-row codegen'd
+    // work — no shuffle, scan-bound at any scale.
+    Spec("fn_aes_roundtrip",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ct",
+          expr("aes_encrypt(text, '0123456789abcdef', 'GCM')"))
+        .select(col("doc_id"),
+          (expr("cast(aes_decrypt(ct, '0123456789abcdef', 'GCM') as string)")
+            === col("text")).as("ok"),
+          length(col("ct")).cast("long").as("ct_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, true AS ok,
+                CAST(n_chars + 28 AS BIGINT) AS ct_len
+              FROM documents ORDER BY doc_id""")))
 }

@@ -380,6 +380,29 @@ object Rel {
                  ${msumSql("value")} AS sum_value,
                  count(DISTINCT user_id) AS n_users,
                  max(ts) AS max_ts
-               FROM events GROUP BY event_type ORDER BY event_type"""))
+               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Statistics-only scan: global COUNT/MIN/MAX answered from parquet
+    // FOOTER metadata, zero data pages read. Needs the V2 parquet source
+    // (`useV1SourceList` cleared) + `parquet.aggregatePushdown`; both are
+    // scoped to a forked `newSession` so no other query's plan shifts.
+    // The executed scan shows `PushedAggregation: [COUNT(*), MIN(...)]`
+    // (asserted in AggPushdownScanSpec) and the aggregate completes in
+    // O(row-groups) — at 100 TB that is the difference between touching
+    // ~100k footers and scanning every page of the fact table.
+    Spec("scan_agg_pushdown",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+            min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+              FROM lineitem"""))
   )
 }

@@ -52,7 +52,10 @@ class OracleLintSpec extends AnyFunSuite {
     ("agg_weighted_median", "sum(w)",
       "w is an exact DECIMAL(30,2) weight from the counts CTE — a decimal " +
         "window sum, not an integer sum, and it is only compared, never " +
-        "emitted"))
+        "emitted"),
+    ("agg_weighted_percentile", "sum(w)",
+      "same decimal weight histogram as agg_weighted_median — cum is " +
+        "only compared against wtot thresholds, never emitted"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
