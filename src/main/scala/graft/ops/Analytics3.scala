@@ -213,6 +213,85 @@ object Analytics3 {
                      min(CASE WHEN cum * 4 >= wtot * 3 THEN l_extendedprice END) AS wp75
               FROM cum JOIN tot ON cum.l_linestatus = tot.l_linestatus
               GROUP BY cum.l_linestatus
-              ORDER BY 1"""))
+              ORDER BY 1""")),
+
+    // Session-grain event-type co-occurrence: which behaviors happen in
+    // the SAME 5-minute-gap session (market-basket at the session grain —
+    // the complement of the adjacent-only transition matrix). Sessions
+    // are the standard gap-islands build; the distinct (user, session,
+    // type) set self-joins on the session key with a `<` canonical-pair
+    // filter (each unordered pair counted once). With a 5-type alphabet
+    // the pair relation is ≤ 10 rows after aggregation; the self-join
+    // keys on (user_id, grp) so at 100 TB it is one hash shuffle of the
+    // per-session type sets, never a fact×fact blowup.
+    Spec("evt_session_cooccurrence",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("tus"))
+        val wU = Window.partitionBy("user_id").orderBy("tus")
+        val brk = e.withColumn("brk",
+          when(lag("tus", 1).over(wU).isNull ||
+            col("tus") - lag("tus", 1).over(wU) >= 300000000L, 1).otherwise(0))
+        val g = brk.withColumn("grp",
+          sum("brk").over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val st = g.select("user_id", "grp", "event_type").distinct()
+        st.as("a").join(st.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+            col("a.grp") === col("b.grp") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), asc("et_a"), asc("et_b"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+              d1 AS (
+                SELECT user_id, event_type, tus,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                            >= 300000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+              g AS (
+                SELECT user_id, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM d1),
+              st AS (SELECT DISTINCT user_id, grp, event_type FROM g)
+              SELECT a.event_type AS et_a, b.event_type AS et_b,
+                     count(*) AS n_sessions
+              FROM st a JOIN st b
+                ON a.user_id = b.user_id AND a.grp = b.grp
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+              ORDER BY n_sessions DESC, et_a, et_b""")),
+
+    // Running peak + max drawdown of the daily series — the resilience
+    // readout (how far below the high-water mark did volume fall). Pure
+    // integer window arithmetic over the compressed day grain: running
+    // max, per-day drawdown from peak, ordered by day. DuckDB's window
+    // max of a BIGINT stays BIGINT (max never widens, unlike sum) — no
+    // cast gymnastics needed.
+    Spec("win_max_drawdown",
+      (s, d) => {
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily(s, d)
+          .select(col("day"), col("actual"),
+            max("actual").over(w).as("peak"))
+          .withColumn("drawdown", col("peak") - col("actual"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS actual
+                FROM events GROUP BY 1)
+              SELECT day, actual,
+                     max(actual) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                     max(actual) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - actual
+                       AS drawdown
+              FROM daily
+              ORDER BY day"""))
   )
 }

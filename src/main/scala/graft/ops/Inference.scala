@@ -440,7 +440,62 @@ object Inference {
                 round(CAST(n * tr - sum_rc AS DOUBLE) /
                       sqrt(CAST(n * n - sum_r2 AS DOUBLE) *
                            CAST(n * n - sum_c2 AS DOUBLE)), 6) AS mcc
-              FROM tot, rc, r2, c2"""))
+              FROM tot, rc, r2, c2""")),
+
+    // Feature-bagged ensemble vote — three centroid models, model m
+    // scoring only the dimensions with pos % 3 ≠ m (the random-subspace
+    // ensemble, made deterministic), majority vote with ties to the
+    // lowest class. The model dimension is an exploded literal, so all
+    // three forward passes run in ONE scan of the exploded vectors and
+    // one broadcast of the shared centroid table; per-model argmax and
+    // the vote are two window/groupBy passes over the vec grain. Same
+    // scaled-integer dot products as the base model — exact, order-free.
+    Spec("infer_ensemble_vote",
+      (s, d) => {
+        val ms = vexp(s, d)
+          .withColumn("m", explode(array(lit(0), lit(1), lit(2))))
+          .where(col("pos") % 3 =!= col("m"))
+        val sc = ms.join(broadcast(centroids(s, d)), "pos")
+          .groupBy("vec_id", "label", "m", "clabel")
+          .agg(round(scaledSum(col("x") * col("c")), 6).as("score"))
+        val wM = Window.partitionBy("vec_id", "m").orderBy(desc("score"), asc("clabel"))
+        val pm = sc.withColumn("rn", row_number().over(wM)).where(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("clabel").as("pred"))
+        val votes = pm.groupBy("vec_id", "label", "pred")
+          .agg(count(lit(1)).as("n_votes"))
+        val wV = Window.partitionBy("vec_id").orderBy(desc("n_votes"), asc("pred"))
+        votes.withColumn("rn", row_number().over(wV)).where(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("pred").as("pred_ens"),
+            col("n_votes"), (col("pred") === col("label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$base,
+               ms AS (
+                 SELECT v.*, u.m FROM vexp v,
+                   (SELECT unnest([0, 1, 2]) AS m) u
+                 WHERE v.pos % 3 <> u.m),
+               sc AS (
+                 SELECT v.vec_id, v.label, v.m, ct.clabel,
+                   round(CAST(sum(CAST(floor((v.x * ct.c) * 1.0e12) AS BIGINT))
+                     AS DOUBLE) / 1.0e12, 6) AS score
+                 FROM ms v JOIN centroids ct ON v.pos = ct.pos
+                 GROUP BY v.vec_id, v.label, v.m, ct.clabel),
+               pm AS (
+                 SELECT vec_id, label, clabel AS pred FROM (
+                   SELECT vec_id, label, clabel, score,
+                     row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY score DESC, clabel) AS rn
+                   FROM sc) WHERE rn = 1),
+               votes AS (
+                 SELECT vec_id, label, pred, count(*) AS n_votes
+                 FROM pm GROUP BY 1, 2, 3)
+               SELECT vec_id, label, pred AS pred_ens,
+                 CAST(n_votes AS BIGINT) AS n_votes, (pred = label) AS correct
+               FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY n_votes DESC, pred) AS rn
+                 FROM votes) WHERE rn = 1
+               ORDER BY vec_id"""))
   )
 
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =

@@ -47,6 +47,8 @@ class OracleLintSpec extends AnyFunSuite {
       "running break-sum is the session GROUP BY key, never emitted"),
     ("evt_session_stats", "sum(brk)",
       "running break-sum is the session GROUP BY key, never emitted"),
+    ("evt_session_cooccurrence", "sum(brk)",
+      "running break-sum is the session join key, never emitted"),
     ("text_repetition", "sum(cnt)",
       "bigram total consumed by a double ratio, never emitted"),
     ("agg_weighted_median", "sum(w)",
