@@ -613,6 +613,28 @@ object Aggs {
                 CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                 count(*) AS n
               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-              ORDER BY gid, rf, ls"""))
+              ORDER BY gid, rf, ls""")),
+
+    // Bitwise aggregates — AND/OR/XOR folds over integer columns (flag
+    // intersection/union masks, XOR parity checksums). Fully
+    // commutative+associative, so they map-side combine like any sum;
+    // exact integers end to end. XOR of the orderkey stream doubles as a
+    // cheap content checksum (order-free, merge-friendly) — the same
+    // trick replication validators use at 100 TB.
+    Spec("agg_bit_ops",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("bit_and(l_linenumber)").cast("long").as("mask_and"),
+          expr("bit_or(l_linenumber)").cast("long").as("mask_or"),
+          expr("bit_xor(l_orderkey)").as("xor_checksum"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                CAST(bit_and(l_linenumber) AS BIGINT) AS mask_and,
+                CAST(bit_or(l_linenumber) AS BIGINT) AS mask_or,
+                CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_checksum,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag"""))
   )
 }

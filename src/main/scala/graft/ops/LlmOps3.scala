@@ -129,6 +129,27 @@ object LlmOps3 {
                   count(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep
                     THEN 1 END) AS n_pass
                 FROM r GROUP BY lang)
-              ORDER BY lang"""))
+              ORDER BY lang""")),
+
+    // Per-source exact-duplicate pressure: the triage readout run BEFORE
+    // any expensive near-dup pass — which ingest sources are flooding the
+    // corpus with identical texts. n − count(DISTINCT text) at the source
+    // grain, dup share floor-scaled to basis points. One partial-agg
+    // shuffle on (source, text-hash) semantics; at 100 TB the distinct
+    // runs on the md5 of the text, which is what `count(DISTINCT text)`
+    // hash-aggregates anyway.
+    Spec("dedup_source_ratio",
+      (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"))
+        .withColumn("dup_bp",
+          expr("(10000 * (n_docs - n_distinct)) div n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+                count(DISTINCT text) AS n_distinct,
+                (10000 * (count(*) - count(DISTINCT text))) // count(*) AS dup_bp
+              FROM documents GROUP BY source
+              ORDER BY source"""))
   )
 }

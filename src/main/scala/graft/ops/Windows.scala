@@ -356,6 +356,38 @@ object Windows {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS locf_value
-              FROM events ORDER BY user_id, event_id"""))
+              FROM events ORDER BY user_id, event_id""")),
+
+    // Conditional-reset running counter: events since the user's most
+    // recent purchase (0 AT the purchase row; rows before the first
+    // purchase count from stream start). The reset is the islands trick
+    // re-keyed on the resetting EVENT rather than a time gap: a running
+    // purchase count partitions each user's stream into purchase-bounded
+    // islands, and row_number within the island minus one is the
+    // counter. Two window passes over one user-keyed shuffle, O(1) state
+    // per row — the form that survives unbounded streams, unlike a
+    // per-row lookback scan.
+    Spec("win_since_last_purchase",
+      (s, d) => {
+        val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wIsl = Window.partitionBy("user_id", "sp").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("sp",
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wRun))
+          .withColumn("n_since", row_number().over(wIsl).cast("long") - 1L)
+          .select("user_id", "event_id", "event_type", "n_since")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH r AS (
+                SELECT user_id, event_id, event_type, ts,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+                FROM events)
+              SELECT user_id, event_id, event_type,
+                CAST(row_number() OVER (PARTITION BY user_id, sp
+                  ORDER BY ts, event_id) - 1 AS BIGINT) AS n_since
+              FROM r ORDER BY user_id, event_id"""))
   )
 }

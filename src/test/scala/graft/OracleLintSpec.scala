@@ -49,6 +49,8 @@ class OracleLintSpec extends AnyFunSuite {
       "running break-sum is the session GROUP BY key, never emitted"),
     ("evt_session_cooccurrence", "sum(brk)",
       "running break-sum is the session join key, never emitted"),
+    ("win_since_last_purchase", "event_type = 'purchase'",
+      "running purchase-count is the island PARTITION BY key, never emitted"),
     ("text_repetition", "sum(cnt)",
       "bigram total consumed by a double ratio, never emitted"),
     ("agg_weighted_median", "sum(w)",
