@@ -292,6 +292,25 @@ object Analytics3 {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - actual
                        AS drawdown
               FROM daily
-              ORDER BY day"""))
+              ORDER BY day""")),
+
+    // Spark 4 EXECUTE IMMEDIATE — dynamic SQL: the statement text lives
+    // in a session variable and executes with positional `?` parameters
+    // bound at parse time (USING), the stored-procedure idiom for
+    // metadata-driven pipelines. The data path is ordinary Catalyst SQL;
+    // the oracle is the statement with the binding inlined.
+    Spec("sql_execute_immediate",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+        s.sql("""SET VAR stmt =
+                 'SELECT o_orderstatus, count(*) AS n
+                  FROM orders WHERE o_orderpriority IN (?, ?)
+                  GROUP BY o_orderstatus ORDER BY o_orderstatus'""")
+        s.sql("EXECUTE IMMEDIATE stmt USING '1-URGENT', '5-LOW'")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -5,7 +5,7 @@ import graft.streaming.StreamRunner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2 category I — Structured Streaming over `events`.
@@ -107,6 +107,41 @@ object Streaming {
       val total = (if (countState.exists()) countState.get() else 0L) + rows.size
       countState.update(total)
       Iterator((key, total))
+    }
+  }
+
+  /** ListState surface (Spark 4 transformWithState): per-user bounded
+    * recent-history buffer — keep only the LAST n (time, event_id) pairs.
+    * The canonical "recent items" serving state (last-N views, fraud
+    * velocity windows): state per key is O(n) regardless of stream
+    * length, because handleInputRows re-puts the truncated merge instead
+    * of appending unboundedly. Batch rows arrive unordered → merge-sort
+    * against the stored list before truncating.
+    */
+  final class LastNProcessor(n: Int)
+      extends StatefulProcessor[Long, Event, (Long, Long, String)] {
+    @transient private var lastN: ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+
+    private def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastN = getHandle.getListState[(Long, Long)]("lastn",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long, String)] = {
+      val incoming = rows.map(e => (us(e.ts), e.event_id)).toArray
+      val merged = (lastN.get().toArray ++ incoming).sorted.takeRight(n)
+      lastN.put(merged)
+      val total = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(total)
+      Iterator((key, total, merged.reverse.map(_._2).mkString(",")))
     }
   }
 
@@ -472,6 +507,45 @@ object Streaming {
               FROM j, mx
               WHERE p_id IS NOT NULL
                  OR c_ts + INTERVAL 30 MINUTE < wm
-              ORDER BY c_id, p_id NULLS FIRST"""))
+              ORDER BY c_id, p_id NULLS FIRST""")),
+
+    // ListState recent-history buffer: per-user last-3 event ids through
+    // [[LastNProcessor]], drained over two parity-split batches so the
+    // state genuinely merges across micro-batches. Update mode emits one
+    // row per (user, batch); the final state per user is selected by
+    // max_by on the cumulative count (strictly increasing per user, so
+    // the pick is deterministic). Oracle: the same last-3-by-(ts,
+    // event_id) ranking stated relationally.
+    Spec("stream_liststate_lastn",
+      (s, d) => {
+        val e = ev(s, d)
+        val b1 = e.where(col("event_id") % 2 === 0)
+        val b2 = e.where(col("event_id") % 2 === 1)
+        withRocksDB(s) {
+          val out = StreamRunner.run(s, Seq(b1, b2), e.schema, "update",
+            cacheKey = s"stateful|$d", statePartitions = 1,
+            drainKey = s"liststate|$d") { src =>
+            import s.implicits._
+            src.as[Event].groupByKey(_.user_id)
+              .transformWithState(new LastNProcessor(3), TimeMode.None(),
+                OutputMode.Update(),
+                Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+              .toDF("user_id", "n_seen", "last3")
+          }
+          out.groupBy("user_id")
+            .agg(expr("max_by(last3, n_seen)").as("last3_ids"))
+            .orderBy("user_id")
+        }
+      },
+      Some("""WITH r AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY tus DESC, event_id DESC) AS rn
+                FROM events)
+              SELECT user_id,
+                string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY tus DESC, event_id DESC) AS last3_ids
+              FROM r WHERE rn <= 3
+              GROUP BY user_id ORDER BY user_id"""))
   )
 }
