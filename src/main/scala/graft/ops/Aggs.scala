@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Spec, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** SURVEY.md §2 category D — aggregation forms.
   *
@@ -635,6 +635,30 @@ object Aggs {
                 CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_checksum,
                 count(*) AS n
               FROM lineitem GROUP BY l_returnflag
-              ORDER BY l_returnflag"""))
+              ORDER BY l_returnflag""")),
+
+    // DISTINCT aggregation arithmetic: sum/avg over the distinct value
+    // set (de-duplicated revenue states, not row-weighted) — plans as
+    // the two-level expand+aggregate Spark uses for mixed distinct and
+    // plain aggs in one pass. Money discipline: the distinct quantities
+    // are exact 2-decimal values, so the decimal-sum msum trick applies
+    // unchanged after dedup.
+    Spec("agg_sum_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(msum(col("l_quantity")).as("sum_all"),
+          round(sumDistinct(col("l_quantity").cast(DecimalType(30, 2))), 2)
+            .cast(DoubleType).as("sum_distinct"),
+          countDistinct(col("l_quantity")).as("n_distinct"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                 ${msumSql("l_quantity")} AS sum_all,
+                 CAST(round(sum(DISTINCT CAST(l_quantity AS DECIMAL(30,2))), 2)
+                   AS DOUBLE) AS sum_distinct,
+                 count(DISTINCT l_quantity) AS n_distinct,
+                 count(*) AS n
+               FROM lineitem GROUP BY l_returnflag
+               ORDER BY l_returnflag"""))
   )
 }

@@ -311,6 +311,32 @@ object Analytics3 {
       },
       Some("""SELECT o_orderstatus, count(*) AS n
               FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Weekday × hour activity heatmap — the ops-dashboard staple. Long
+    // form (dow, hour, n, share of the weekday's volume in floor basis
+    // points) so the oracle is a plain GROUP BY; the share denominator is
+    // a weekday-partitioned window sum over the ≤168-row grid, exact
+    // integers throughout. Convention trap stated in the oracle: Spark's
+    // dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 — hence the +1.
+    Spec("evt_hourly_heatmap",
+      (s, d) => {
+        val g = t(s, d, "events")
+          .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val wD = Window.partitionBy("dow")
+        g.withColumn("dow_total", sum("n").over(wD))
+          .withColumn("share_bp", expr("(10000 * n) div dow_total"))
+          .drop("dow_total")
+          .orderBy("dow", "hr")
+      },
+      Some("""WITH g AS (
+                SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT dow, hr, n,
+                (10000 * n) // CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT)
+                  AS share_bp
+              FROM g
+              ORDER BY dow, hr"""))
   )
 }

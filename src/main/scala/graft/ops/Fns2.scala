@@ -85,5 +85,30 @@ object Fns2 {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, true AS ok,
                 CAST(n_chars + 28 AS BIGINT) AS ct_len
+              FROM documents ORDER BY doc_id""")),
+
+    // Spark `mask()` — the built-in data-redaction scalar (upper→X,
+    // lower→x, digit→n, other kept). The fixture text is lowercase words
+    // + spaces, and a digit-bearing variant is synthesized per row, so
+    // both character classes are exercised; DuckDB has no mask(), so the
+    // oracle states the class-by-class regexp_replace desugaring, plus a
+    // custom-replacement variant (mask(s, '#', '*', '0')). Pure per-row
+    // codegen'd work.
+    Spec("fn_mask",
+      (s, d) => t(s, d, "documents")
+        .withColumn("tagged", concat(col("text"), lit(" id"), col("doc_id")))
+        .select(col("doc_id"),
+          expr("mask(tagged)").as("masked_default"),
+          expr("mask(tagged, '#', '*', '0')").as("masked_custom"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text || ' id' || doc_id,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS masked_default,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text || ' id' || doc_id,
+                  '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '0', 'g')
+                  AS masked_custom
               FROM documents ORDER BY doc_id""")))
 }
