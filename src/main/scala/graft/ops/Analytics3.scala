@@ -337,6 +337,58 @@ object Analytics3 {
                 (10000 * n) // CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT)
                   AS share_bp
               FROM g
-              ORDER BY dow, hr"""))
+              ORDER BY dow, hr""")),
+
+    // SQL join-strategy hints — the escape hatch when the optimizer's
+    // size estimates are wrong (a "small" dim that will explode after a
+    // filter-join, a broadcast that would OOM). /*+ MERGE(supplier) */
+    // forces a sort-merge join where stats would pick broadcast-hash;
+    // JoinHintSpec asserts the physical plan actually flips and that a
+    // BROADCAST hint flips it back. Results are strategy-invariant, so
+    // the oracle is the plain join.
+    Spec("sql_join_hints",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT /*+ MERGE(supplier) */
+                   n_name, count(*) AS n_suppliers,
+                   CAST(round(sum(CAST(s_acctbal AS DECIMAL(30,2))), 2)
+                     AS DOUBLE) AS total_bal
+                 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n_suppliers,
+                CAST(round(sum(CAST(s_acctbal AS DECIMAL(30,2))), 2)
+                  AS DOUBLE) AS total_bal
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // Calendar-gap detection: a day ladder generated from the observed
+    // [min, max] range (sequence + explode over a ONE-ROW aggregate — no
+    // cross join, no recursion) left-joined back to the daily counts;
+    // days with zero events surface with n = 0 instead of silently
+    // missing from the report. The ladder side is O(days) and broadcast;
+    // the daily side is the usual distributed compression of the fact.
+    Spec("evt_missing_days",
+      (s, d) => {
+        val dd = daily(s, d)
+        val ladder = dd.agg(min("day").as("mn"), max("day").as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+        ladder.join(dd, Seq("day"), "left")
+          .select(col("day"), coalesce(col("actual"), lit(0L)).as("n"),
+            col("actual").isNull.as("is_gap"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS actual
+                FROM events GROUP BY 1),
+              ladder AS (
+                SELECT unnest(generate_series(
+                  (SELECT min(day) FROM daily),
+                  (SELECT max(day) FROM daily),
+                  INTERVAL 1 DAY))::DATE AS day)
+              SELECT l.day, coalesce(d.actual, 0) AS n,
+                     (d.actual IS NULL) AS is_gap
+              FROM ladder l LEFT JOIN daily d ON l.day = d.day
+              ORDER BY l.day"""))
   )
 }

@@ -150,6 +150,45 @@ object LlmOps3 {
                 count(DISTINCT text) AS n_distinct,
                 (10000 * (count(*) - count(DISTINCT text))) // count(*) AS dup_bp
               FROM documents GROUP BY source
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    // Cross-language vocabulary overlap — Jaccard of the distinct token
+    // sets per language pair (code-switching / mislabeled-language
+    // contamination signal: two "languages" sharing most of their
+    // vocabulary are one language, or one is polluted). The distinct
+    // (lang, token) relation self-joins on token with a canonical
+    // lang < lang pair filter; union size by inclusion-exclusion from
+    // exact per-lang counts — no second pass. ≤ C(5,2) output rows.
+    Spec("text_lang_overlap",
+      (s, d) => {
+        val lt = t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val sizes = lt.groupBy("lang").agg(count(lit(1)).as("nv"))
+        val inter = lt.as("a").join(lt.as("b"),
+            col("a.token") === col("b.token") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("lang").as("lang_a"), col("nv").as("na"))), "lang_a")
+          .join(broadcast(sizes.select(col("lang").as("lang_b"), col("nv").as("nb"))), "lang_b")
+          .select(col("lang_a"), col("lang_b"), col("inter"), col("na"), col("nb"),
+            expr("(10000 * inter) div (na + nb - inter)").as("jaccard_bp"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some("""WITH lt AS (
+                SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              sizes AS (SELECT lang, count(*) AS nv FROM lt GROUP BY lang),
+              i AS (
+                SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter
+                FROM lt a JOIN lt b
+                  ON a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2)
+              SELECT lang_a, lang_b, inter, sa.nv AS na, sb.nv AS nb,
+                (10000 * inter) // (sa.nv + sb.nv - inter) AS jaccard_bp
+              FROM i JOIN sizes sa ON i.lang_a = sa.lang
+                     JOIN sizes sb ON i.lang_b = sb.lang
+              ORDER BY lang_a, lang_b"""))
   )
 }
