@@ -659,6 +659,49 @@ object Aggs {
                  count(DISTINCT l_quantity) AS n_distinct,
                  count(*) AS n
                FROM lineitem GROUP BY l_returnflag
-               ORDER BY l_returnflag"""))
+               ORDER BY l_returnflag""")),
+
+    // PRODUCT aggregation (neither engine's float product() is used):
+    // per-order compound discount factor Π(1 + l_discount) as an EXACT
+    // integer-rational — each factor is (100 + d)/100 with d = discount
+    // in percent, so the numerator is a wide-integer product folded over
+    // the collected factor list (integer multiplication is commutative
+    // and exact, so collect order is irrelevant — no sort needed) and
+    // the denominator is the matching 100^k fold. Orders reach 17 lines
+    // (110^17 ≈ 5e34 overflows BIGINT — found by the ANSI overflow
+    // error, not silent wraparound), so the accumulator is
+    // DECIMAL(38,0) / HUGEINT; both engines convert the same exact
+    // integers to double, and the single division is bit-identical.
+    Spec("agg_compound_product",
+      (s, d) => {
+        val d100 = expr("cast(round(l_discount * 100) as bigint)")
+        val one = lit(1L).cast(DecimalType(38, 0))
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"), collect_list(d100).as("ds"))
+          .withColumn("num",
+            aggregate(col("ds"), one,
+              (a, x) => a * (lit(100L) + x).cast(DecimalType(38, 0))))
+          .withColumn("den",
+            aggregate(col("ds"), one,
+              (a, _) => a * lit(100L).cast(DecimalType(38, 0))))
+          .select(col("l_orderkey"), col("n_lines"),
+            round(col("num").cast("double") / col("den").cast("double"), 6)
+              .as("compound"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH g AS (
+                SELECT l_orderkey, count(*) AS n_lines,
+                  list(CAST(round(l_discount * 100) AS BIGINT)) AS ds
+                FROM lineitem GROUP BY l_orderkey)
+              SELECT l_orderkey, n_lines,
+                round(CAST(list_reduce(list_prepend(CAST(1 AS HUGEINT),
+                    list_transform(ds, x -> CAST(100 + x AS HUGEINT))),
+                    (a, b) -> a * b) AS DOUBLE)
+                  / CAST(list_reduce(list_prepend(CAST(1 AS HUGEINT),
+                    list_transform(ds, x -> CAST(100 AS HUGEINT))),
+                    (a, b) -> a * b) AS DOUBLE), 6) AS compound
+              FROM g
+              ORDER BY l_orderkey"""))
   )
 }

@@ -389,6 +389,113 @@ object Analytics3 {
               SELECT l.day, coalesce(d.actual, 0) AS n,
                      (d.actual IS NULL) AS is_gap
               FROM ladder l LEFT JOIN daily d ON l.day = d.day
-              ORDER BY l.day"""))
+              ORDER BY l.day""")),
+
+    // Skewness + excess kurtosis from EXACT raw moments — the engines'
+    // built-in skewness()/kurtosis() differ on sample-vs-population
+    // corrections, so neither is used: Σx..Σx⁴ are exact decimal sums
+    // (l_quantity has 2 decimals → x⁴ has 8; DECIMAL(38,8) holds ~1e9
+    // rows of 100⁴-scale terms), converted once to double, and the
+    // population g1/g2 formulas are written in the same operation order
+    // on both engines (v^1.5 as v*sqrt(v) — sqrt is IEEE correctly
+    // rounded, libm pow is not). One distributed agg, 3-row final expr.
+    Spec("agg_higher_moments",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = col("l_quantity")
+        val stats = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(38, 2))).cast("double").as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"),
+          sum((x * x * x).cast(DecimalType(38, 6))).cast("double").as("s3"),
+          sum((x * x * x * x).cast(DecimalType(38, 8))).cast("double").as("s4"))
+        stats.select(col("l_returnflag"), col("n"),
+            (col("s1") / col("n")).as("m"),
+            (col("s2") / col("n")).as("r2"),
+            (col("s3") / col("n")).as("r3"),
+            (col("s4") / col("n")).as("r4"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("m"), 6).as("mean"),
+            round(
+              (col("r3") - lit(3.0) * col("m") * col("r2") +
+                lit(2.0) * col("m") * col("m") * col("m")) /
+              ((col("r2") - col("m") * col("m")) *
+                sqrt(col("r2") - col("m") * col("m"))), 6).as("skewness"),
+            round(
+              (col("r4") - lit(4.0) * col("m") * col("r3") +
+                lit(6.0) * col("m") * col("m") * col("r2") -
+                lit(3.0) * col("m") * col("m") * col("m") * col("m")) /
+              ((col("r2") - col("m") * col("m")) * (col("r2") - col("m") * col("m")))
+                - lit(3.0), 6).as("excess_kurtosis"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (
+                SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4
+                FROM lineitem GROUP BY l_returnflag),
+              m AS (
+                SELECT l_returnflag, n,
+                  s1 / n AS m, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+                FROM s)
+              SELECT l_returnflag, n,
+                round(m, 6) AS mean,
+                round((r3 - 3.0 * m * r2 + 2.0 * m * m * m)
+                      / ((r2 - m * m) * sqrt(r2 - m * m)), 6) AS skewness,
+                round((r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m)
+                      / ((r2 - m * m) * (r2 - m * m)) - 3.0, 6) AS excess_kurtosis
+              FROM m
+              ORDER BY l_returnflag""")),
+
+    // Inter-arrival-time histogram: per-user consecutive event gaps
+    // bucketed into human bands (sub-minute … over-a-day). Gaps are
+    // exact integer microseconds from one lag over the user-keyed
+    // shuffle; bucket edges are integer literals so assignment cannot
+    // round-tie. The arrival-process readout next to evt_session_stats
+    // (same shuffle key — at 100 TB both run off one repartition).
+    Spec("evt_inter_event_hist",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("tus"))
+          .withColumn("gap_us", col("tus") - lag("tus", 1).over(w))
+          .where(col("gap_us").isNotNull)
+          .withColumn("bucket_id",
+            when(col("gap_us") < 60L * 1000000, 0)
+              .when(col("gap_us") < 600L * 1000000, 1)
+              .when(col("gap_us") < 3600L * 1000000, 2)
+              .when(col("gap_us") < 21600L * 1000000, 3)
+              .when(col("gap_us") < 86400L * 1000000, 4)
+              .otherwise(5))
+          .groupBy("bucket_id")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("bucket",
+            expr("""CASE bucket_id WHEN 0 THEN '<1m' WHEN 1 THEN '1-10m'
+                    WHEN 2 THEN '10-60m' WHEN 3 THEN '1-6h'
+                    WHEN 4 THEN '6-24h' ELSE '>1d' END"""))
+          .orderBy("bucket_id")
+      },
+      Some("""WITH g AS (
+                SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS gap_us
+                FROM events),
+              b AS (
+                SELECT CASE WHEN gap_us < 60000000 THEN 0
+                            WHEN gap_us < 600000000 THEN 1
+                            WHEN gap_us < 3600000000 THEN 2
+                            WHEN gap_us < 21600000000 THEN 3
+                            WHEN gap_us < 86400000000 THEN 4
+                            ELSE 5 END AS bucket_id
+                FROM g WHERE gap_us IS NOT NULL)
+              SELECT bucket_id, count(*) AS n,
+                CASE bucket_id WHEN 0 THEN '<1m' WHEN 1 THEN '1-10m'
+                  WHEN 2 THEN '10-60m' WHEN 3 THEN '1-6h'
+                  WHEN 4 THEN '6-24h' ELSE '>1d' END AS bucket
+              FROM b GROUP BY bucket_id
+              ORDER BY bucket_id"""))
   )
 }
