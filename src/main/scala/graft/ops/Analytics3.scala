@@ -496,6 +496,86 @@ object Analytics3 {
                   WHEN 2 THEN '10-60m' WHEN 3 THEN '1-6h'
                   WHEN 4 THEN '6-24h' ELSE '>1d' END AS bucket
               FROM b GROUP BY bucket_id
-              ORDER BY bucket_id"""))
+              ORDER BY bucket_id""")),
+
+    // Growth accounting (new / retained / resurrected / churned per
+    // week) — the standard user-lifecycle state machine. All state
+    // derives from ONE lag/lead pass over the distinct (user, week)
+    // grain: no prev row = new, prev = wk−7 = retained, older prev =
+    // resurrected; churn is EMITTED FORWARD onto week wk+7 when the next
+    // active week isn't adjacent (so churned(w) = users active in w−7
+    // but not w), then clipped to the observed activity range via an
+    // unbounded window over the tiny (week, stage) counts grain — no
+    // 1-row join. "Active" = a high-value purchase (value > 90) that
+    // week — the raw event stream is dense enough that every user is
+    // active every week, which would leave the resurrected branch dead
+    // code; the measured threshold exercises all four states. Identity
+    // new+retained+resurrected = weekly actives holds by construction;
+    // everything is exact integers.
+    Spec("evt_lifecycle",
+      (s, d) => {
+        val uw = t(s, d, "events")
+          .where(col("event_type") === "purchase" && col("value") > 90)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("wk")
+        val f = uw
+          .withColumn("prev", lag("wk", 1).over(w))
+          .withColumn("nxt", lead("wk", 1).over(w))
+        val active = f.select(col("wk"),
+          when(col("prev").isNull, "new")
+            .when(datediff(col("wk"), col("prev")) === 7, "retained")
+            .otherwise("resurrected").as("stage"))
+        val churn = f
+          .where(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+          .select(date_add(col("wk"), 7).as("wk"), lit("churned").as("stage"))
+        val counts = active.unionByName(churn)
+          .groupBy("wk", "stage").agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("maxwk",
+            max(when(col("stage") =!= "churned", col("wk"))).over(wAll))
+          .where(col("wk") <= col("maxwk"))
+          .groupBy("wk")
+          .agg(sum(when(col("stage") === "new", col("n")).otherwise(0L)).as("n_new"),
+            sum(when(col("stage") === "retained", col("n")).otherwise(0L)).as("n_retained"),
+            sum(when(col("stage") === "resurrected", col("n")).otherwise(0L)).as("n_resurrected"),
+            sum(when(col("stage") === "churned", col("n")).otherwise(0L)).as("n_churned"))
+          .orderBy("wk")
+      },
+      Some("""WITH uw AS (
+                SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events
+                WHERE event_type = 'purchase' AND "value" > 90),
+              f AS (
+                SELECT user_id, wk,
+                  lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+                  lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+                FROM uw),
+              staged AS (
+                SELECT wk,
+                  CASE WHEN prev IS NULL THEN 'new'
+                       WHEN wk - prev = 7 THEN 'retained'
+                       ELSE 'resurrected' END AS stage
+                FROM f
+                UNION ALL
+                SELECT wk + 7, 'churned'
+                FROM f WHERE nxt IS NULL OR nxt - wk > 7),
+              counts AS (
+                SELECT wk, stage, count(*) AS n FROM staged GROUP BY 1, 2),
+              capped AS (
+                SELECT *,
+                  max(CASE WHEN stage <> 'churned' THEN wk END) OVER () AS maxwk
+                FROM counts)
+              SELECT wk,
+                CAST(sum(CASE WHEN stage = 'new' THEN n ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN stage = 'retained' THEN n ELSE 0 END) AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN stage = 'resurrected' THEN n ELSE 0 END) AS BIGINT) AS n_resurrected,
+                CAST(sum(CASE WHEN stage = 'churned' THEN n ELSE 0 END) AS BIGINT) AS n_churned
+              FROM capped WHERE wk <= maxwk
+              GROUP BY wk ORDER BY wk"""))
   )
 }

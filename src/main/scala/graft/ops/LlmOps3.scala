@@ -189,6 +189,55 @@ object LlmOps3 {
                 (10000 * inter) // (sa.nv + sb.nv - inter) AS jaccard_bp
               FROM i JOIN sizes sa ON i.lang_a = sa.lang
                      JOIN sizes sb ON i.lang_b = sb.lang
-              ORDER BY lang_a, lang_b"""))
+              ORDER BY lang_a, lang_b""")),
+
+    // Token co-occurrence LIFT over the top-20 vocabulary — collocation
+    // mining without PMI's logarithm (lift = N·c_ab/(c_a·c_b), floor-
+    // scaled to basis points: >10000 ⇒ attract, <10000 ⇒ repel; the
+    // PMI RANKING is identical because log is monotone, with none of
+    // libm's cross-engine risk). The pair join runs only on the top-20
+    // token postings (vocabulary-bounded, never corpus-quadratic); the
+    // 1-row doc-count broadcast is the text_tfidf_topk decorrelation.
+    Spec("text_token_lift",
+      (s, d) => {
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val dfreq = dt.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("token")).limit(20)
+        val top = dt.join(broadcast(dfreq), "token")
+        val ndocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+        top.as("a").join(top.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+          .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+            col("a.c").as("c_a"), col("b.c").as("c_b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .crossJoin(broadcast(ndocs))
+          .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+            expr("(10000 * nd * c_ab) div (c_a * c_b)").as("lift_bp"))
+          .orderBy(desc("lift_bp"), asc("tok_a"), asc("tok_b"))
+          .limit(30)
+      },
+      Some("""WITH dt AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              dfreq AS (
+                SELECT token, count(*) AS c FROM dt GROUP BY token
+                ORDER BY c DESC, token LIMIT 20),
+              top AS (
+                SELECT dt.doc_id, dt.token, dfreq.c
+                FROM dt JOIN dfreq ON dt.token = dfreq.token),
+              nd AS (SELECT count(*) AS nd FROM documents),
+              p AS (
+                SELECT a.token AS tok_a, b.token AS tok_b,
+                  a.c AS c_a, b.c AS c_b, count(*) AS c_ab
+                FROM top a JOIN top b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2, 3, 4)
+              SELECT tok_a, tok_b, c_ab, c_a, c_b,
+                (10000 * nd * c_ab) // (c_a * c_b) AS lift_bp
+              FROM p, nd
+              ORDER BY lift_bp DESC, tok_a, tok_b
+              LIMIT 30"""))
   )
 }
