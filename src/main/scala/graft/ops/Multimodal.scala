@@ -470,6 +470,71 @@ object Multimodal {
                 SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS ahash
                 FROM bits GROUP BY doc_id)
               SELECT ahash, count(*) AS n_imgs, min(doc_id) AS canonical_id
-              FROM ah GROUP BY ahash ORDER BY canonical_id"""))
+              FROM ah GROUP BY ahash ORDER BY canonical_id""")),
+
+    // Per-channel color statistics + dominant channel over REAL-decoded
+    // pixels (the color-profile featurizer): exact integer channel sums
+    // from the javax.imageio round trip, argmax channel with the
+    // documented r ≥ g ≥ b tie order. Same construct-then-parse design
+    // as mm_decode_real — the oracle recomputes the channel sums from
+    // the pixel FORMULA, so a decode that permutes channels, clamps, or
+    // gamma-shifts any value hash-mismatches. Decode is per-row executor
+    // work; the output is already at row grain (zero shuffle before the
+    // presentation sort).
+    Spec("mm_dominant_channel",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val dec = ImageIoCodec.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+            it.map { id =>
+              val seed = id % 40
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val r = ((seed * 7 + x * 13 + y * 31) % 256).toInt
+                  val g = ((seed * 11 + x * 17 + y * 5) % 256).toInt
+                  val b = ((seed * 3 + x * 19 + y * 23) % 256).toInt
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val px = dec.decode(bos.toByteArray, 8, 8, 3)
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var i = 0
+              while (i < 64) {
+                rs += math.round(px(3 * i) * 255f).toLong
+                gs += math.round(px(3 * i + 1) * 255f).toLong
+                bs += math.round(px(3 * i + 2) * 255f).toLong
+                i += 1
+              }
+              val dom = if (rs >= gs && rs >= bs) "r"
+                        else if (gs >= bs) "g" else "b"
+              (id, rs, gs, bs, dom)
+            }
+          }
+          .toDF("doc_id", "r_sum", "g_sum", "b_sum", "dominant")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  CAST(sum(((doc_id % 40) * 7 + gx.x * 13 + gy.y * 31) % 256) AS BIGINT) AS r_sum,
+                  CAST(sum(((doc_id % 40) * 11 + gx.x * 17 + gy.y * 5) % 256) AS BIGINT) AS g_sum,
+                  CAST(sum(((doc_id % 40) * 3 + gx.x * 19 + gy.y * 23) % 256) AS BIGINT) AS b_sum
+                FROM documents, generate_series(0, 7) gx(x),
+                     generate_series(0, 7) gy(y)
+                GROUP BY doc_id)
+              SELECT doc_id, r_sum, g_sum, b_sum,
+                CASE WHEN r_sum >= g_sum AND r_sum >= b_sum THEN 'r'
+                     WHEN g_sum >= b_sum THEN 'g' ELSE 'b' END AS dominant
+              FROM p ORDER BY doc_id"""))
   )
 }
