@@ -576,6 +576,76 @@ object Analytics3 {
                 CAST(sum(CASE WHEN stage = 'resurrected' THEN n ELSE 0 END) AS BIGINT) AS n_resurrected,
                 CAST(sum(CASE WHEN stage = 'churned' THEN n ELSE 0 END) AS BIGINT) AS n_churned
               FROM capped WHERE wk <= maxwk
-              GROUP BY wk ORDER BY wk"""))
+              GROUP BY wk ORDER BY wk""")),
+
+    // Engagement-depth histogram: how many of the observed weeks is each
+    // user active in (1..n_weeks), then the user count per depth — the
+    // companion readout to evt_lifecycle (same distinct (user, week)
+    // grain, one extra fold). Exact integers, two tiny shuffles.
+    Spec("evt_active_weeks_hist",
+      (s, d) => t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("n_weeks"))
+        .groupBy("n_weeks").agg(count(lit(1)).as("n_users"))
+        .orderBy("n_weeks"),
+      Some("""SELECT n_weeks, count(*) AS n_users FROM (
+                SELECT user_id, count(*) AS n_weeks FROM (
+                  SELECT DISTINCT user_id,
+                    CAST(date_trunc('week', ts) AS DATE) AS wk
+                  FROM events)
+                GROUP BY user_id)
+              GROUP BY n_weeks ORDER BY n_weeks""")),
+
+    // ABC revenue classification — cumulative-share banding of parts by
+    // revenue (A = first 80% of revenue, B = next 15%, C = tail): the
+    // inventory-analytics classic. Revenue per part is the exact decimal
+    // msum; the running share comparison is cross-multiplied decimal
+    // (10·cum ≤ 8·total etc. — no division, no float threshold), with
+    // the grand total from an unbounded window over the part grain (no
+    // 1-row join). Output at the class grain.
+    Spec("agg_abc_class",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val rev = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 4))).as("rev"))
+        val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(desc("rev"), asc("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        rev
+          .withColumn("cum", sum("rev").over(wCum))
+          .withColumn("tot", sum("rev").over(wAll))
+          .withColumn("cls",
+            when(col("cum") * 10 <= col("tot") * 8, "A")
+              .when(col("cum") * 100 <= col("tot") * 95, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            round(sum("rev"), 2).cast("double").as("class_revenue"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+                SELECT l_partkey,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(30,4))) AS rev
+                FROM lineitem GROUP BY l_partkey),
+              c AS (
+                SELECT l_partkey, rev,
+                  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+                FROM rev)
+              SELECT CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                          WHEN cum * 100 <= tot * 95 THEN 'B'
+                          ELSE 'C' END AS cls,
+                     count(*) AS n_parts,
+                     CAST(round(sum(rev), 2) AS DOUBLE) AS class_revenue
+              FROM c
+              GROUP BY 1 ORDER BY cls"""))
   )
 }

@@ -238,6 +238,46 @@ object LlmOps3 {
                 (10000 * nd * c_ab) // (c_a * c_b) AS lift_bp
               FROM p, nd
               ORDER BY lift_bp DESC, tok_a, tok_b
-              LIMIT 30"""))
+              LIMIT 30""")),
+
+    // Token burstiness (variance-to-mean ratio of within-document counts
+    // over the documents containing the token) for the top-20 vocabulary
+    // — Church & Gale's content-vs-function-word discriminator: function
+    // words spread evenly (VMR ≈ 1, Poisson), content words clump. The
+    // identity VMR = (n·Σc² − (Σc)²) / ((n−1)·Σc) makes it ONE division
+    // of two exact BIGINTs — no intermediate float mean/variance at all.
+    Spec("text_burstiness",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+        val top = tc.groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("token")).limit(20)
+        tc.join(broadcast(top), "token")
+          .groupBy("token", "df")
+          .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+          .select(col("token"), col("df"), col("s1").as("total_occ"),
+            round((col("df") * col("s2") - col("s1") * col("s1")).cast("double") /
+              ((col("df") - 1) * col("s1")).cast("double"), 6).as("vmr"))
+          .orderBy("token")
+      },
+      Some("""WITH tc AS (
+                SELECT token, doc_id, count(*) AS c FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+                GROUP BY token, doc_id),
+              top AS (
+                SELECT token, count(*) AS df FROM tc GROUP BY token
+                ORDER BY df DESC, token LIMIT 20),
+              s AS (
+                SELECT tc.token, top.df,
+                  CAST(sum(c) AS BIGINT) AS s1,
+                  CAST(sum(c * c) AS BIGINT) AS s2
+                FROM tc JOIN top ON tc.token = top.token
+                GROUP BY tc.token, top.df)
+              SELECT token, df, s1 AS total_occ,
+                round(CAST(df * s2 - s1 * s1 AS DOUBLE)
+                  / CAST((df - 1) * s1 AS DOUBLE), 6) AS vmr
+              FROM s ORDER BY token"""))
   )
 }

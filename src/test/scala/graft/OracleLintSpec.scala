@@ -59,7 +59,11 @@ class OracleLintSpec extends AnyFunSuite {
         "emitted"),
     ("agg_weighted_percentile", "sum(w)",
       "same decimal weight histogram as agg_weighted_median — cum is " +
-        "only compared against wtot thresholds, never emitted"))
+        "only compared against wtot thresholds, never emitted"),
+    ("agg_abc_class", "sum(rev)",
+      "rev is DECIMAL(30,4) from the rev CTE — decimal window sums, " +
+        "only cross-multiplied in the class predicate or re-aggregated " +
+        "under round()"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
