@@ -646,6 +646,118 @@ object Analytics3 {
                      count(*) AS n_parts,
                      CAST(round(sum(rev), 2) AS DOUBLE) AS class_revenue
               FROM c
-              GROUP BY 1 ORDER BY cls"""))
+              GROUP BY 1 ORDER BY cls""")),
+
+    // Sample-ratio-mismatch check — the experiment-health gate run
+    // BEFORE reading any A/B result (a 50/50 split that isn't 50/50
+    // means assignment is broken and every downstream metric is
+    // garbage). For two arms the 1-df chi-square collapses ALGEBRAICALLY
+    // to (n0−n1)²/T — one division of exact BIGINTs, no expected-count
+    // floats at all; flagged against the pinned 3.841 critical value
+    // (95%, 1 df). Companion to evt_ab_ztest on the same arm split.
+    Spec("evt_srm_check",
+      (s, d) => {
+        val arms = t(s, d, "events")
+          .groupBy((col("user_id") % 2).as("arm"))
+          .agg(countDistinct(col("user_id")).as("n"))
+        arms.agg(
+            sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n1"))
+          .select(col("n0"), col("n1"),
+            round(((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+              (col("n0") + col("n1")).cast("double"), 6).as("chi2"))
+          .withColumn("srm_detected", col("chi2") > 3.841)
+      },
+      Some("""WITH a AS (
+                SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
+                FROM events GROUP BY 1),
+              s AS (
+                SELECT CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+                FROM a)
+              SELECT n0, n1,
+                round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+                (round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE), 6) > 3.841) AS srm_detected
+              FROM s""")),
+
+    // CTE referenced twice in one statement — rank-by-join over the
+    // aggregated segment relation (each branch reads the SAME `seg`
+    // CTE; Spark models this as WithCTE and decides inline-vs-reuse).
+    // The join-based rank is a deliberate window-free formulation so the
+    // double CTE reference is structural, not decorative.
+    Spec("sql_cte_reuse",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""WITH seg AS (
+                   SELECT c_mktsegment AS seg, count(*) AS n
+                   FROM customer GROUP BY c_mktsegment)
+                 SELECT a.seg, a.n,
+                   count(b.seg) AS n_bigger
+                 FROM seg a LEFT JOIN seg b
+                   ON b.n > a.n OR (b.n = a.n AND b.seg < a.seg)
+                 GROUP BY a.seg, a.n
+                 ORDER BY a.seg""")
+      },
+      Some("""WITH seg AS (
+                SELECT c_mktsegment AS seg, count(*) AS n
+                FROM customer GROUP BY c_mktsegment)
+              SELECT a.seg, a.n, count(b.seg) AS n_bigger
+              FROM seg a LEFT JOIN seg b
+                ON b.n > a.n OR (b.n = a.n AND b.seg < a.seg)
+              GROUP BY a.seg, a.n
+              ORDER BY a.seg""")),
+
+    // Rolling 7-day correlation between the click and purchase daily
+    // series — co-movement drift detection. The day grain carries both
+    // counts as columns (conditional agg); all six sufficient statistics
+    // are exact BIGINT window sums over the trailing frame, and r is one
+    // fixed-order float expression with sqrt (IEEE-exact) — the
+    // win_rolling_slope discipline extended to the bivariate case.
+    // Degenerate frames (zero variance) yield NULL via nullif.
+    Spec("win_rolling_corr",
+      (s, d) => {
+        val day = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        day
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("sx", sum("x").over(w))
+          .withColumn("sy", sum("y").over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+          .withColumn("sx2", sum(col("x") * col("x")).over(w))
+          .withColumn("sy2", sum(col("y") * col("y")).over(w))
+          .where(col("k") === 7)
+          .select(col("day"), col("x"), col("y"),
+            round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              nullif(sqrt((col("k") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("k") * col("sy2") - col("sy") * col("sy")).cast("double")), lit(0.0)),
+              6).as("r7"))
+          .orderBy("day")
+      },
+      Some("""WITH day AS (
+                SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1),
+              r AS (
+                SELECT day, x, y,
+                  CAST(count(*) OVER w AS BIGINT) AS k,
+                  CAST(sum(x) OVER w AS BIGINT) AS sx,
+                  CAST(sum(y) OVER w AS BIGINT) AS sy,
+                  CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                  CAST(sum(x * x) OVER w AS BIGINT) AS sx2,
+                  CAST(sum(y * y) OVER w AS BIGINT) AS sy2
+                FROM day
+                WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              SELECT day, x, y,
+                round(CAST(k * sxy - sx * sy AS DOUBLE)
+                  / nullif(sqrt(CAST(k * sx2 - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * sy2 - sy * sy AS DOUBLE)), 0.0), 6) AS r7
+              FROM r WHERE k = 7
+              ORDER BY day"""))
   )
 }
