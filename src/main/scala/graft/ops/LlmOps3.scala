@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Spec, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 category K (round 8, tranche 3) — corpus-composition ops:
@@ -278,6 +279,85 @@ object LlmOps3 {
               SELECT token, df, s1 AS total_occ,
                 round(CAST(df * s2 - s1 * s1 AS DOUBLE)
                   / CAST((df - 1) * s1 AS DOUBLE), 6) AS vmr
-              FROM s ORDER BY token"""))
+              FROM s ORDER BY token""")),
+
+    // Heaps'-law vocabulary-growth curve: distinct-vocabulary size after
+    // the first N documents, at doc-count checkpoints — the corpus-
+    // health companion to the Zipf fit (a vocabulary that stops growing
+    // means duplicated/templated ingest). The prefix distinct-count is
+    // the FIRST-OCCURRENCE trick (token → min doc_id, one shuffle), so
+    // every checkpoint is a conditional sum over that compressed
+    // relation — never a per-checkpoint rescan. Checkpoints are
+    // fractions of the corpus (deciles of max doc_id), so the query is
+    // scale-invariant; exact integers end to end.
+    Spec("text_heaps_law",
+      (s, d) => {
+        val firsts = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(min("doc_id").as("first_doc"))
+        val wAll = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        firsts
+          .withColumn("mx", max("first_doc").over(wAll))
+          .select(explode(expr("sequence(1, 10)")).as("decile"),
+            col("first_doc"), col("mx"))
+          .where(col("first_doc") * 10 <= col("decile") * col("mx"))
+          .groupBy("decile").agg(count(lit(1)).as("vocab"))
+          .orderBy("decile")
+      },
+      Some("""WITH firsts AS (
+                SELECT token, min(doc_id) AS first_doc FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+                GROUP BY token),
+              m AS (
+                SELECT token, first_doc,
+                  max(first_doc) OVER () AS mx
+                FROM firsts),
+              e AS (
+                SELECT d.decile, first_doc, mx
+                FROM m, (SELECT unnest(range(1, 11)) AS decile) d
+                WHERE first_doc * 10 <= d.decile * mx)
+              SELECT decile, count(*) AS vocab
+              FROM e GROUP BY decile ORDER BY decile""")),
+
+    // Duplicate-group size distribution over the canonical assignment —
+    // the "how bad is it" readout after dedup_canonical: how many
+    // groups of size 1 (unique), 2, 3… and how many docs each band
+    // holds. Reuses the memoized groups + verified set pairs; two hash
+    // shuffles over the doc and group grains.
+    Spec("dedup_cluster_sizes",
+      (s, d) => {
+        val groups = LlmOps.tokenSetGroups(s, d)
+        val pairs = LlmOps.expandSetPairs(groups, LlmOps.minhashSetPairs(s, d))
+        val edges = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
+          .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
+        val canon = t(s, d, "documents").select("doc_id")
+          .join(edges, Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(min(col("nb")).as("mn"))
+          .select(col("doc_id"),
+            least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+              .as("canonical_id"))
+        canon.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_groups"),
+            sum("sz").cast("long").as("n_docs"))
+          .orderBy("sz")
+      },
+      Some(s"""WITH ${LlmOps.pairCte("")},
+               p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.9),
+               edges AS (SELECT d1 AS doc_id, d2 AS nb FROM p
+                         UNION ALL SELECT d2, d1 FROM p),
+               canon AS (
+                 SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(e.nb), d.doc_id)) AS canonical_id
+                 FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
+                 GROUP BY d.doc_id),
+               sz AS (
+                 SELECT canonical_id, count(*) AS sz
+                 FROM canon GROUP BY canonical_id)
+               SELECT sz, count(*) AS n_groups,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+               FROM sz GROUP BY sz ORDER BY sz"""))
   )
 }
