@@ -758,6 +758,100 @@ object Analytics3 {
                   / nullif(sqrt(CAST(k * sx2 - sx * sx AS DOUBLE))
                     * sqrt(CAST(k * sy2 - sy * sy AS DOUBLE)), 0.0), 6) AS r7
               FROM r WHERE k = 7
-              ORDER BY day"""))
+              ORDER BY day""")),
+
+    // Position-based (U-shaped) attribution — first and last touch get
+    // 40% credit each, middles split the remaining 20%: the multi-touch
+    // model next to evt_attribution's last-touch. The journey is each
+    // user's pre-FIRST-purchase touch sequence; credits are integer
+    // basis points (middle share is `2000 div (n-2)` — floor, so a
+    // journey's credits can sum to slightly under 10000; documented
+    // rather than smeared, keeping every credit deterministic). Two
+    // windows over one user-keyed shuffle + a broadcast of the tiny
+    // first-purchase relation.
+    Spec("evt_attribution_position",
+      (s, d) => {
+        val fp = t(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("fp_ts"))
+        val j = t(s, d, "events")
+          .join(broadcast(fp), "user_id")
+          .where(col("ts") < col("fp_ts") && col("event_type") =!= "purchase")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wc = Window.partitionBy("user_id")
+        j.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .withColumn("credit_bp",
+            when(col("n") === 1, 10000L)
+              .when(col("n") === 2, 5000L)
+              .when(col("rn") === 1 || col("rn") === col("n"), 4000L)
+              .otherwise(expr("2000 div (n - 2)")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("touches"),
+            sum("credit_bp").cast("long").as("total_credit_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH fp AS (
+                SELECT user_id, min(ts) AS fp_ts FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+              j AS (
+                SELECT e.user_id, e.event_id, e.event_type, e.ts
+                FROM events e JOIN fp ON e.user_id = fp.user_id
+                WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'),
+              r AS (
+                SELECT event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+                FROM j)
+              SELECT event_type, count(*) AS touches,
+                CAST(sum(CASE WHEN n = 1 THEN 10000
+                              WHEN n = 2 THEN 5000
+                              WHEN rn = 1 OR rn = n THEN 4000
+                              ELSE 2000 // (n - 2) END) AS BIGINT)
+                  AS total_credit_bp
+              FROM r GROUP BY event_type
+              ORDER BY event_type""")),
+
+    // Time-weighted average value (TWAP) per user-day — the financial /
+    // IoT averaging that weights each observation by how long it was
+    // "current" (until the next event), not by row count. Durations are
+    // exact integer microseconds from one lead(); value is a 2-decimal
+    // fixture column, so Σ(value·dur) is an exact decimal sum and the
+    // single final division is bit-identical. The last observation of a
+    // day has no duration and is excluded (stated, not fudged).
+    Spec("win_twap",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts").cast("date").as("day"), expr("unix_micros(ts)").as("tus"))
+          .withColumn("dur_us", lead("tus", 1).over(w) - col("tus"))
+          .where(col("dur_us").isNotNull)
+        e.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_obs"),
+            sum(col("value").cast(DecimalType(30, 2)) * col("dur_us")).as("wsum"),
+            sum("dur_us").as("dtot"))
+          .select(col("user_id"), col("day"), col("n_obs"),
+            round(col("wsum").cast("double") / col("dtot").cast("double"), 6)
+              .as("twap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, "value",
+                  CAST(ts AS DATE) AS day, epoch_us(ts) AS tus
+                FROM events),
+              g AS (
+                SELECT user_id, day, "value",
+                  lead(tus) OVER (PARTITION BY user_id, day
+                    ORDER BY tus, event_id) - tus AS dur_us
+                FROM e)
+              SELECT user_id, day, count(*) AS n_obs,
+                round(CAST(sum(CAST("value" AS DECIMAL(30,2)) * dur_us) AS DOUBLE)
+                  / CAST(sum(dur_us) AS BIGINT), 6) AS twap
+              FROM g WHERE dur_us IS NOT NULL
+              GROUP BY user_id, day
+              ORDER BY user_id, day"""))
   )
 }
