@@ -852,6 +852,89 @@ object Analytics3 {
                   / CAST(sum(dur_us) AS BIGINT), 6) AS twap
               FROM g WHERE dur_us IS NOT NULL
               GROUP BY user_id, day
-              ORDER BY user_id, day"""))
+              ORDER BY user_id, day""")),
+
+    // Correlated scalar subquery in the SELECT list — the report-writer
+    // idiom Catalyst decorrelates into a left outer aggregate join
+    // (count must coalesce to 0 for nations with no suppliers — the
+    // NULL-vs-0 trap the decorrelation preserves). Both subqueries share
+    // the nation key, so the plan is two small aggregate joins, not two
+    // rescans per row.
+    Spec("sql_scalar_subquery_select",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n_name,
+                   (SELECT count(*) FROM supplier
+                    WHERE s_nationkey = n_nationkey) AS n_suppliers,
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey = n_nationkey) AS n_customers
+                 FROM nation ORDER BY n_name""")
+      },
+      Some("""SELECT n_name,
+                (SELECT count(*) FROM supplier
+                 WHERE s_nationkey = n_nationkey) AS n_suppliers,
+                (SELECT count(*) FROM customer
+                 WHERE c_nationkey = n_nationkey) AS n_customers
+              FROM nation ORDER BY n_name""")),
+
+    // Median absolute deviation — the robust dispersion statistic
+    // (outlier-immune, unlike stddev). Composes the exact-median
+    // construction TWICE: the global lower median of o_totalprice via
+    // histogram cumulation, then the same construction over
+    // |x − median|. No engine median/quantile function on either side;
+    // both passes run over value-compressed histograms, and the
+    // deviation values are exact decimal differences (prices have 2
+    // decimals), so the pick boundaries cannot round-tie.
+    Spec("agg_mad",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
+          val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          counts
+            .withColumn("cum", sum("cnt").over(w))
+            .withColumn("n", sum("cnt").over(wAll))
+            .where(col("cum") * 2 >= col("n"))
+            .agg(min(col(c)).as("m"))
+        }
+        val o = t(s, d, "orders")
+          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        val med = lowerMedian(o, "x")
+        val dev = o.crossJoin(broadcast(med))
+          .select(abs(col("x") - col("m")).as("dev"))
+        val mad = lowerMedian(dev, "dev")
+        med.select(col("m").cast("double").as("median_price"))
+          .crossJoin(broadcast(mad.select(col("m").cast("double").as("mad"))))
+      },
+      Some("""WITH x AS (
+                SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+              c1 AS (
+                SELECT x, count(*) AS cnt FROM x GROUP BY x),
+              m1 AS (
+                SELECT min(x) AS m FROM (
+                  SELECT x,
+                    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS n
+                  FROM c1) WHERE cum * 2 >= n),
+              dev AS (
+                SELECT abs(x.x - m1.m) AS dev FROM x, m1),
+              c2 AS (
+                SELECT dev, count(*) AS cnt FROM dev GROUP BY dev),
+              m2 AS (
+                SELECT min(dev) AS mad FROM (
+                  SELECT dev,
+                    sum(cnt) OVER (ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                    sum(cnt) OVER (ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS n
+                  FROM c2) WHERE cum * 2 >= n)
+              SELECT CAST(m1.m AS DOUBLE) AS median_price,
+                     CAST(m2.mad AS DOUBLE) AS mad
+              FROM m1, m2"""))
   )
 }

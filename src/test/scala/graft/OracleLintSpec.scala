@@ -63,7 +63,10 @@ class OracleLintSpec extends AnyFunSuite {
     ("agg_abc_class", "sum(rev)",
       "rev is DECIMAL(30,4) from the rev CTE — decimal window sums, " +
         "only cross-multiplied in the class predicate or re-aggregated " +
-        "under round()"))
+        "under round()"),
+    ("agg_mad", "sum(cnt)",
+      "histogram cumulation windows — only compared in the median pick " +
+        "condition, never emitted"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
