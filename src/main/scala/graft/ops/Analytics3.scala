@@ -935,6 +935,52 @@ object Analytics3 {
                   FROM c2) WHERE cum * 2 >= n)
               SELECT CAST(m1.m AS DOUBLE) AS median_price,
                      CAST(m2.mad AS DOUBLE) AS mad
-              FROM m1, m2"""))
+              FROM m1, m2""")),
+
+    // Expected shortfall / CVaR(95): the mean of the upper tail at or
+    // above the exact p95 pick — risk's answer to "p95 hides the worst
+    // 5%". The threshold is the histogram-cumulation pick (cum·20 ≥
+    // 19·n — cross-multiplied, no interpolation, no engine quantile);
+    // ties at the threshold are INCLUDED by definition here (stated, so
+    // both engines agree even when the 5% boundary is degenerate). Tail
+    // mean is an exact decimal sum with one final division.
+    Spec("agg_cvar",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = t(s, d, "orders")
+          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        val counts = o.groupBy("x").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val thr = counts
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("n", sum("cnt").over(wAll))
+          .where(col("cum") * 20 >= col("n") * 19)
+          .agg(min("x").as("p95"))
+        o.crossJoin(broadcast(thr))
+          .where(col("x") >= col("p95"))
+          .groupBy("p95")
+          .agg(count(lit(1)).as("n_tail"), sum("x").as("tail_sum"))
+          .select(col("p95").cast("double").as("p95"), col("n_tail"),
+            round(col("tail_sum").cast("double") / col("n_tail"), 6).as("cvar95"))
+      },
+      Some("""WITH x AS (
+                SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+              c AS (SELECT x, count(*) AS cnt FROM x GROUP BY x),
+              t AS (
+                SELECT min(x) AS p95 FROM (
+                  SELECT x,
+                    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS n
+                  FROM c) WHERE cum * 20 >= n * 19)
+              SELECT CAST(t.p95 AS DOUBLE) AS p95,
+                count(*) AS n_tail,
+                round(CAST(sum(x.x) AS DOUBLE) / count(*), 6) AS cvar95
+              FROM x, t WHERE x.x >= t.p95
+              GROUP BY t.p95"""))
   )
 }

@@ -358,6 +358,53 @@ object LlmOps3 {
                  FROM canon GROUP BY canonical_id)
                SELECT sz, count(*) AS n_groups,
                  CAST(sum(sz) AS BIGINT) AS n_docs
-               FROM sz GROUP BY sz ORDER BY sz"""))
+               FROM sz GROUP BY sz ORDER BY sz""")),
+
+    // Per-document 3-gram NOVELTY in ingest order — the fraction of a
+    // doc's trigrams never seen in any earlier doc (first-occurrence
+    // trick at the n-gram grain). A corpus whose novelty curve collapses
+    // is re-crawling itself — the streaming-order complement to the
+    // pairwise dedup family. Uses the native `ngrams` GENERATOR (the
+    // Generate-node table function — zero-shuffle emission in the scan
+    // pipeline); the oracle rebuilds trigrams relationally. Exact
+    // integers; floor basis points.
+    Spec("text_ngram_novelty",
+      (s, d) => {
+        graft.functions.NGramsGenerator.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql("""WITH tk AS (SELECT doc_id, split(text, ' ') AS toks
+                             FROM documents),
+                 g AS (SELECT doc_id, gram
+                       FROM tk LATERAL VIEW ngrams(toks, 3) t AS pos, gram),
+                 firsts AS (SELECT gram, min(doc_id) AS first_doc
+                            FROM g GROUP BY gram),
+                 j AS (SELECT g.doc_id,
+                         count(*) AS n_grams,
+                         count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                           AS n_novel
+                       FROM g JOIN firsts f ON g.gram = f.gram
+                       GROUP BY g.doc_id)
+                 SELECT doc_id, n_grams, n_novel,
+                   (10000 * n_novel) div n_grams AS novelty_bp
+                 FROM j ORDER BY doc_id""")
+      },
+      Some(s"""WITH ${LlmOps.toksSql},
+              g AS (
+                SELECT doc_id, gram FROM (
+                  SELECT doc_id,
+                    token || ' ' || lead(token, 1) OVER w
+                      || ' ' || lead(token, 2) OVER w AS gram
+                  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+                WHERE gram IS NOT NULL),
+              firsts AS (
+                SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+              j AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                  count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel
+                FROM g JOIN firsts f ON g.gram = f.gram
+                GROUP BY g.doc_id)
+              SELECT doc_id, n_grams, n_novel,
+                (10000 * n_novel) // n_grams AS novelty_bp
+              FROM j ORDER BY doc_id"""))
   )
 }

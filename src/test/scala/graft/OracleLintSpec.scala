@@ -66,7 +66,12 @@ class OracleLintSpec extends AnyFunSuite {
         "under round()"),
     ("agg_mad", "sum(cnt)",
       "histogram cumulation windows — only compared in the median pick " +
-        "condition, never emitted"))
+        "condition, never emitted"),
+    ("agg_cvar", "sum(cnt)",
+      "histogram cumulation windows — only compared in the p95 pick " +
+        "condition, never emitted"),
+    ("agg_cvar", "sum(x.x)",
+      "decimal tail sum, emitted only under round(CAST(... AS DOUBLE))"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
