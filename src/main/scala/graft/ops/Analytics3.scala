@@ -981,6 +981,96 @@ object Analytics3 {
                 count(*) AS n_tail,
                 round(CAST(sum(x.x) AS DOUBLE) / count(*), 6) AS cvar95
               FROM x, t WHERE x.x >= t.p95
-              GROUP BY t.p95"""))
+              GROUP BY t.p95""")),
+
+    // SRE error-budget burn: per-day error share in basis points plus
+    // the RUNNING share against a pinned 20% SLO (the fixture's uniform
+    // 5-type mix makes ~20% the meaningful line) — the "are we burning
+    // budget faster than we earn it" readout. Pure integer arithmetic:
+    // daily counts, floor-bp shares, running sums over the day grain.
+    Spec("evt_error_budget",
+      (s, d) => {
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("event_type") === "error", 1)).as("n_err"))
+          .withColumn("err_bp", expr("(10000 * n_err) div n"))
+          .withColumn("cum_n_err", sum("n_err").over(w))
+          .withColumn("cum_n", sum("n").over(w))
+          .withColumn("cum_err_bp", expr("(10000 * cum_n_err) div cum_n"))
+          .drop("cum_n_err", "cum_n")
+          .withColumn("over_budget", col("cum_err_bp") > 2000)
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+                FROM events GROUP BY 1)
+              SELECT day, n, n_err,
+                (10000 * n_err) // n AS err_bp,
+                (10000 * CAST(sum(n_err) OVER w AS BIGINT))
+                  // CAST(sum(n) OVER w AS BIGINT) AS cum_err_bp,
+                ((10000 * CAST(sum(n_err) OVER w AS BIGINT))
+                  // CAST(sum(n) OVER w AS BIGINT) > 2000) AS over_budget
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+              ORDER BY day""")),
+
+    // Winsorized mean — the robust-mean companion to agg_mad/agg_cvar:
+    // clamp to the exact p05/p95 histogram picks (both from ONE
+    // cumulative pass, conditional mins), then an exact decimal mean of
+    // the clamped values. Clamping (least/greatest) is closed over the
+    // 2-decimal domain, so the sum stays exact and the single division
+    // is bit-identical.
+    Spec("agg_winsorized_mean",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = t(s, d, "orders")
+          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val thr = o.groupBy("x").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("n", sum("cnt").over(wAll))
+          .agg(min(when(col("cum") * 20 >= col("n"), col("x"))).as("p05"),
+            min(when(col("cum") * 20 >= col("n") * 19, col("x"))).as("p95"))
+        o.crossJoin(broadcast(thr))
+          .select(col("p05"), col("p95"),
+            greatest(col("p05"), least(col("p95"), col("x"))).as("cx"),
+            col("x"))
+          .groupBy("p05", "p95")
+          .agg(count(lit(1)).as("n"),
+            sum("cx").as("wsum"), sum("x").as("rsum"))
+          .select(col("p05").cast("double").as("p05"),
+            col("p95").cast("double").as("p95"),
+            round(col("wsum").cast("double") / col("n"), 6).as("winsorized_mean"),
+            round(col("rsum").cast("double") / col("n"), 6).as("raw_mean"))
+      },
+      Some("""WITH x AS (
+                SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+              c AS (SELECT x, count(*) AS cnt FROM x GROUP BY x),
+              k AS (
+                SELECT x,
+                  sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum,
+                  sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS n
+                FROM c),
+              t AS (
+                SELECT min(CASE WHEN cum * 20 >= n THEN x END) AS p05,
+                       min(CASE WHEN cum * 20 >= n * 19 THEN x END) AS p95
+                FROM k)
+              SELECT CAST(t.p05 AS DOUBLE) AS p05,
+                CAST(t.p95 AS DOUBLE) AS p95,
+                round(CAST(sum(greatest(t.p05, least(t.p95, x.x))) AS DOUBLE)
+                  / count(*), 6) AS winsorized_mean,
+                round(CAST(sum(x.x) AS DOUBLE) / count(*), 6) AS raw_mean
+              FROM x, t
+              GROUP BY t.p05, t.p95"""))
   )
 }

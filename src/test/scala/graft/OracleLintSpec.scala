@@ -71,7 +71,14 @@ class OracleLintSpec extends AnyFunSuite {
       "histogram cumulation windows — only compared in the p95 pick " +
         "condition, never emitted"),
     ("agg_cvar", "sum(x.x)",
-      "decimal tail sum, emitted only under round(CAST(... AS DOUBLE))"))
+      "decimal tail sum, emitted only under round(CAST(... AS DOUBLE))"),
+    ("agg_winsorized_mean", "sum(cnt)",
+      "histogram cumulation windows — only compared in the pick " +
+        "conditions, never emitted"),
+    ("agg_winsorized_mean", "sum(greatest",
+      "decimal clamped sum, emitted only under round(CAST(... AS DOUBLE))"),
+    ("agg_winsorized_mean", "sum(x.x)",
+      "decimal raw sum, emitted only under round(CAST(... AS DOUBLE))"))
 
   /** Extract suspicious sum() occurrences: returns the argument text of
     * each flagged call.
