@@ -194,10 +194,10 @@ object Analytics {
     // join_q15), and a quartile assignment. Recency is exact epoch-day
     // integer arithmetic; monetary is an exact decimal sum (msum); the
     // ntile ties are broken by (monetary DESC, user_id) — a total order, so
-    // segments are deterministic. The global ntile sorts one row PER USER
-    // (not per event — the aggregate already collapsed); at 100 TB the
-    // segment boundary comes from approx quantiles instead of a global sort
-    // (win_rank_scalable documents that two-pass path).
+    // segments are deterministic. The user grain is unbounded, so the
+    // quartile comes from ScalableCumulate's bucketed two-pass row number
+    // (ntileOf reproduces SQL ntile arithmetically from rank + n) — no
+    // single-task sort of the user relation anywhere in the plan.
     Spec("evt_rfm",
       (s, d) => {
         val p = t(s, d, "events")
@@ -208,11 +208,13 @@ object Analytics {
           .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
             msum(col("value")).as("monetary"))
         val today = p.agg(max("day").as("max_day"))
-        u.crossJoin(broadcast(today))
+        val base = u.crossJoin(broadcast(today))
           .select(col("user_id"), (col("max_day") - col("last_day")).as("recency_days"),
             col("frequency"), col("monetary"))
-          .withColumn("segment", ntile(4).over(
-            Window.orderBy(desc("monetary"), asc("user_id"))).cast("long"))
+        val (rn, n) = ScalableCumulate.rowNumber(base, col("monetary"),
+          ascending = false, Seq(desc("monetary"), asc("user_id")), "__rn")
+        rn.withColumn("segment", ScalableCumulate.ntileOf(col("__rn"), n, 4))
+          .drop("__rn")
           .orderBy("user_id")
       },
       Some(s"""WITH p AS (
@@ -861,10 +863,14 @@ object Analytics {
     // across engines at µs magnitudes — ever runs; every output is either
     // an exact integer or a single division of exact integers (avg: both
     // engines sum ≤2^53-bounded integers exactly, then divide once).
-    // Scale: both aggregates key on user_id; the global cume_dist window
-    // runs at CONVERTED-USER grain (a ~1.5% contraction of users, itself
-    // ≪ corpus); at larger eval populations swap in the two-pass bucketed
-    // rank of win_rank_scalable.
+    // Scale: both aggregates key on user_id; the cume-dist picks run over
+    // the VALUE-COMPRESSED lag histogram (cume_dist is constant within
+    // tied values, so the per-row window collapses to the histogram
+    // cumulation losslessly), cumulated by ScalableCumulate's bucketed
+    // two-pass — no single-task window at any grain. cd is the same
+    // cum/n double division cume_dist performs, so the ≥p picks are
+    // bit-compatible with the oracle's cume_dist; avg is an exact
+    // integer sum with one final division (both engines ≤2^53-exact).
     Spec("evt_time_to_convert",
       (s, d) => {
         val e = t(s, d, "events")
@@ -876,13 +882,18 @@ object Analytics {
         val lag = per.join(pa, "user_id")
           .select((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
             .as("lag_us"))
-        lag.withColumn("cd", cume_dist().over(Window.orderBy("lag_us")))
-          .agg(count(lit(1)).as("n_converted"),
+        val h = lag.groupBy("lag_us").agg(count(lit(1)).as("cnt"))
+        ScalableCumulate.cumSum(h, col("lag_us"), ascending = true,
+            Seq(col("lag_us")), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
+            totals = Map("cum" -> "n"))
+          .withColumn("cd", col("cum").cast("double") / col("n"))
+          .agg(sum("cnt").as("n_converted"),
             min(when(col("cd") >= 0.5, col("lag_us"))).as("p50_us"),
             min(when(col("cd") >= 0.9, col("lag_us"))).as("p90_us"),
             min("lag_us").as("min_us"),
             max("lag_us").as("max_us"),
-            round(avg("lag_us"), 6).as("avg_us"))
+            round(sum(col("lag_us") * col("cnt")).cast("double") /
+              sum("cnt"), 6).as("avg_us"))
       },
       Some("""WITH per AS (
                 SELECT user_id,

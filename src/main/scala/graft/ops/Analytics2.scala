@@ -101,9 +101,13 @@ object Analytics2 {
         val counts = t(s, d, "orders")
           .groupBy(col("o_orderpriority"), col("o_totalprice"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = counts.withColumn("cum", sum("c").over(w))
+        // the histogram is value-compressed but o_totalprice is
+        // near-unique, so each priority's partition is still unbounded —
+        // cumulate through the bucketed two-pass (16-way per group)
+        val cum = ScalableCumulate.cumSum(counts, col("o_totalprice"),
+          ascending = true, Seq(col("o_totalprice")),
+          Seq(ScalableCumulate.Cum("cum", col("c"))),
+          groupCols = Seq("o_orderpriority"))
         val tot = t(s, d, "orders").groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"))
         cum.join(broadcast(tot), "o_orderpriority")
@@ -143,9 +147,12 @@ object Analytics2 {
         val counts = t(s, d, "lineitem")
           .groupBy(col("l_returnflag"), col("l_extendedprice"))
           .agg(sum(wdec).as("w"))
-        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = counts.withColumn("cum", sum("w").over(w))
+        // near-unique prices → unbounded per-flag partitions; exact
+        // decimal weights cumulate through the bucketed two-pass
+        val cum = ScalableCumulate.cumSum(counts, col("l_extendedprice"),
+          ascending = true, Seq(col("l_extendedprice")),
+          Seq(ScalableCumulate.Cum("cum", col("w"))),
+          groupCols = Seq("l_returnflag"))
         val tot = t(s, d, "lineitem").groupBy(col("l_returnflag"))
           .agg(sum(wdec).as("wtot"))
         cum.join(broadcast(tot), "l_returnflag")
@@ -229,25 +236,26 @@ object Analytics2 {
     // Pareto concentration curve: rank users by activity, cut into
     // deciles, report each decile's share and cumulative share of all
     // events — the "what fraction of users produce 80% of traffic" read.
-    // The global ntile sorts USERS (one per-user row from a single
-    // groupBy), not events — the same fact-to-entity compression that
-    // makes the exact median scale; ties broken by user_id so the decile
-    // assignment is total. Shares stay exact-integer until one final
-    // division at the 10-row grain.
+    // The decile assignment runs at USER grain (one per-user row from a
+    // single groupBy) — the same fact-to-entity compression that makes
+    // the exact median scale — via ScalableCumulate's bucketed two-pass
+    // row number + arithmetic ntile (no single-task sort of the user
+    // relation); ties broken by user_id so the assignment is total.
+    // Shares stay exact-integer until one final division at the 10-row
+    // grain, whose own cum/total ride the same helper.
     Spec("evt_pareto_share",
       (s, d) => {
         val per = t(s, d, "events").groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_ev"))
-        val dec = per.withColumn("decile",
-          ntile(10).over(Window.orderBy(desc("n_ev"), asc("user_id"))))
+        val (rn, n) = ScalableCumulate.rowNumber(per, col("n_ev"),
+          ascending = false, Seq(desc("n_ev"), asc("user_id")), "__rn")
+        val dec = rn.withColumn("decile",
+          ScalableCumulate.ntileOf(col("__rn"), n, 10).cast("int"))
         val byDec = dec.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("events"))
-        val wAll = Window.partitionBy()
-        val wCum = Window.orderBy("decile")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byDec
-          .withColumn("total", sum(col("events")).over(wAll))
-          .withColumn("cum", sum(col("events")).over(wCum))
+        ScalableCumulate.cumSum(byDec, col("decile"), ascending = true,
+            Seq(col("decile")), Seq(ScalableCumulate.Cum("cum", col("events"))),
+            totals = Map("cum" -> "total"))
           .select(col("decile"), col("n_users"), col("events"),
             round(col("events").cast(DoubleType) / col("total"), 6).as("share"),
             round(col("cum").cast(DoubleType) / col("total"), 6).as("cum_share"))

@@ -95,16 +95,17 @@ object Analytics3 {
     // Computed from the rank formula G = (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i)
     // with x ascending: every sum is an exact BIGINT over the COMPRESSED
     // user grain (the fact scan reduces to one row per user first — the
-    // evt_pareto_share pattern), so the unpartitioned rank window is a
-    // deliberate small-relation stage; swapping tied x values cannot
-    // change Σi·x_i, so the (x, user_id) tiebreak is for rank determinism
-    // only. One final fixed-order float expression, no rounding tricks.
+    // evt_pareto_share pattern). The user grain is still unbounded, so
+    // the global rank comes from ScalableCumulate's bucketed two-pass
+    // row number, never a single-task window; swapping tied x values
+    // cannot change Σi·x_i, so the (x, user_id) tiebreak is for rank
+    // determinism only. One final fixed-order float expression.
     Spec("evt_gini",
       (s, d) => {
         val u = t(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("x"))
-        val w = Window.orderBy("x", "user_id")
-        val r = u.select(col("x"), row_number().over(w).cast("long").as("i"))
+        val r = ScalableCumulate.rowNumber(u, col("x"), ascending = true,
+          Seq(asc("x"), asc("user_id")), "i")._1.select(col("x"), col("i"))
         r.agg(count(lit(1)).as("n"), sum("x").as("s1"),
             sum(col("i") * col("x")).as("swi"))
           .select(col("n").as("n_users"), col("s1").as("total_events"),
@@ -602,9 +603,11 @@ object Analytics3 {
     // revenue (A = first 80% of revenue, B = next 15%, C = tail): the
     // inventory-analytics classic. Revenue per part is the exact decimal
     // msum; the running share comparison is cross-multiplied decimal
-    // (10·cum ≤ 8·total etc. — no division, no float threshold), with
-    // the grand total from an unbounded window over the part grain (no
-    // 1-row join). Output at the class grain.
+    // (10·cum ≤ 8·total etc. — no division, no float threshold). The
+    // part grain is unbounded, so the running sum and grand total come
+    // from ScalableCumulate's bucketed two-pass (exact decimal offsets,
+    // no single-task window over the part relation). Output at the
+    // class grain.
     Spec("agg_abc_class",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
@@ -612,13 +615,10 @@ object Analytics3 {
           .groupBy("l_partkey")
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast(DecimalType(30, 4))).as("rev"))
-        val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.orderBy(desc("rev"), asc("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        rev
-          .withColumn("cum", sum("rev").over(wCum))
-          .withColumn("tot", sum("rev").over(wAll))
+        ScalableCumulate.cumSum(rev, col("rev"), ascending = false,
+            Seq(desc("rev"), asc("l_partkey")),
+            Seq(ScalableCumulate.Cum("cum", col("rev"))),
+            totals = Map("cum" -> "tot"))
           .withColumn("cls",
             when(col("cum") * 10 <= col("tot") * 8, "A")
               .when(col("cum") * 100 <= col("tot") * 95, "B")
@@ -884,19 +884,18 @@ object Analytics3 {
     // |x − median|. No engine median/quantile function on either side;
     // both passes run over value-compressed histograms, and the
     // deviation values are exact decimal differences (prices have 2
-    // decimals), so the pick boundaries cannot round-tie.
+    // decimals), so the pick boundaries cannot round-tie. o_totalprice
+    // is near-unique, so the histogram grain is unbounded — the count
+    // cumulation runs through ScalableCumulate's bucketed two-pass, not
+    // a single-task window.
     Spec("agg_mad",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
           val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          val w = Window.orderBy(c)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wAll = Window.orderBy(c)
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          counts
-            .withColumn("cum", sum("cnt").over(w))
-            .withColumn("n", sum("cnt").over(wAll))
+          ScalableCumulate.cumSum(counts, col(c), ascending = true,
+              Seq(col(c)), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
+              totals = Map("cum" -> "n"))
             .where(col("cum") * 2 >= col("n"))
             .agg(min(col(c)).as("m"))
         }
@@ -943,20 +942,18 @@ object Analytics3 {
     // 19·n — cross-multiplied, no interpolation, no engine quantile);
     // ties at the threshold are INCLUDED by definition here (stated, so
     // both engines agree even when the 5% boundary is degenerate). Tail
-    // mean is an exact decimal sum with one final division.
+    // mean is an exact decimal sum with one final division. The
+    // near-unique price histogram is unbounded, so the cumulation runs
+    // through ScalableCumulate's bucketed two-pass.
     Spec("agg_cvar",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
         val counts = o.groupBy("x").agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("x")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.orderBy("x")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val thr = counts
-          .withColumn("cum", sum("cnt").over(w))
-          .withColumn("n", sum("cnt").over(wAll))
+        val thr = ScalableCumulate.cumSum(counts, col("x"), ascending = true,
+            Seq(col("x")), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
+            totals = Map("cum" -> "n"))
           .where(col("cum") * 20 >= col("n") * 19)
           .agg(min("x").as("p95"))
         o.crossJoin(broadcast(thr))
@@ -1021,8 +1018,9 @@ object Analytics3 {
 
     // Winsorized mean — the robust-mean companion to agg_mad/agg_cvar:
     // clamp to the exact p05/p95 histogram picks (both from ONE
-    // cumulative pass, conditional mins), then an exact decimal mean of
-    // the clamped values. Clamping (least/greatest) is closed over the
+    // cumulative pass — ScalableCumulate's bucketed two-pass over the
+    // unbounded price histogram — via conditional mins), then an exact
+    // decimal mean of the clamped values. Clamping (least/greatest) is closed over the
     // 2-decimal domain, so the sum stays exact and the single division
     // is bit-identical.
     Spec("agg_winsorized_mean",
@@ -1030,13 +1028,10 @@ object Analytics3 {
         import org.apache.spark.sql.types.DecimalType
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
-        val w = Window.orderBy("x")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.orderBy("x")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val thr = o.groupBy("x").agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum("cnt").over(w))
-          .withColumn("n", sum("cnt").over(wAll))
+        val counts = o.groupBy("x").agg(count(lit(1)).as("cnt"))
+        val thr = ScalableCumulate.cumSum(counts, col("x"), ascending = true,
+            Seq(col("x")), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
+            totals = Map("cum" -> "n"))
           .agg(min(when(col("cum") * 20 >= col("n"), col("x"))).as("p05"),
             min(when(col("cum") * 20 >= col("n") * 19, col("x"))).as("p95"))
         o.crossJoin(broadcast(thr))
