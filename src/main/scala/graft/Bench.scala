@@ -87,32 +87,40 @@ object Bench {
     // steady-state number the 2x gate should see. Run-to-run variance on
     // identical bytecode swung single queries 0.6s->5.1s between rounds.
     val queryMap = SparkEntry.queries
-    val results: Seq[(String, Double)] = queryMap.keys.toSeq.sorted.map { name =>
-      val fn = queryMap(name)
-      val t0 = System.nanoTime()
-      val secs =
-        try {
-          fn(spark, sfDir).count()
-          val first = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val best2 = math.min(first, (System.nanoTime() - t1) / 1e9)
-          // SLOW queries get a third sample: min-of-3 steady state, so one
-          // contention spike on a multi-second query can't distort the
-          // graded total (the cheap queries aren't worth a 3rd run).
-          if (best2 > 2.0) {
-            val t2 = System.nanoTime()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // (name, steady best-of-N seconds, cold first-sample seconds,
+    //  load average sampled right after this query's runs)
+    val timed: Seq[(String, Double, Double, Double)] =
+      queryMap.keys.toSeq.sorted.map { name =>
+        val fn = queryMap(name)
+        val t0 = System.nanoTime()
+        var first = 0.0
+        val secs =
+          try {
             fn(spark, sfDir).count()
-            math.min(best2, (System.nanoTime() - t2) / 1e9)
-          } else best2
-        } catch {
-          case e: Throwable =>
-            failed ::= name
-            System.err.println(s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            (System.nanoTime() - t0) / 1e9
-        }
-      name -> secs
-    }
+            first = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val best2 = math.min(first, (System.nanoTime() - t1) / 1e9)
+            // SLOW queries get a third sample: min-of-3 steady state, so one
+            // contention spike on a multi-second query can't distort the
+            // graded total (the cheap queries aren't worth a 3rd run).
+            if (best2 > 2.0) {
+              val t2 = System.nanoTime()
+              fn(spark, sfDir).count()
+              math.min(best2, (System.nanoTime() - t2) / 1e9)
+            } else best2
+          } catch {
+            case e: Throwable =>
+              failed ::= name
+              System.err.println(s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              first = (System.nanoTime() - t0) / 1e9
+              first
+          }
+        (name, secs, first, osBean.getSystemLoadAverage)
+      }
+    val results: Seq[(String, Double)] = timed.map(r => r._1 -> r._2)
+    val loadAt: Map[String, Double] = timed.map(r => r._1 -> r._4).toMap
     // Budget guard: any steady-state query over 2 s is loud on stderr, so
     // a regression is diagnosable from the driver tail alone; one outside
     // the documented allowlist is a convention violation, marked louder.
@@ -120,9 +128,14 @@ object Bench {
     // already reported as FAIL/n_failed, not a completed slow run.
     val failedSet = failed.toSet
     val slow = results.filter { case (k, v) => v > 2.0 && !failedSet(k) }
+    // Each SLOW line carries the load average sampled AT THAT QUERY, so a
+    // contention-distorted sample self-labels line by line (round-8
+    // verdict #3): SLOW-UNDECLARED lines whose load is far above the
+    // start sentinel's mean that the host was busy, not that the query
+    // regressed — rerun on a quiet host before believing the number.
     slow.foreach { case (k, v) =>
       val tag = if (slowAllow(k)) "SLOW" else "SLOW-UNDECLARED"
-      System.err.println(f"[bench] $tag $k $v%.2f")
+      System.err.println(f"[bench] $tag $k $v%.2f load_at=${loadAt(k)}%.2f")
     }
     val nSlowUndeclared = slow.count { case (k, _) => !slowAllow(k) }
     // Per-category subtotals (category = query-name prefix): localizes a
@@ -147,12 +160,22 @@ object Bench {
     // number includes it. Carried explicitly so the artifact itself shows
     // what a cold single-query run of a memoized dedup query would add.
     val memoBuild = ops.LlmOps.memoBuildSeconds
+    // Dedup-family subtotal, cold vs steady (round-8 verdict #4): cold =
+    // sum of each dedup_* query's FIRST sample (the memo build lands in
+    // the first consumer's first sample), steady = sum of best samples
+    // (the amortized reuse path). Their gap, minus memo_build_s, is the
+    // family's plain JIT/warmup — so the memo's amortization claim is
+    // trackable round-over-round from the artifact alone.
+    val dedupCold = timed.filter(_._1.startsWith("dedup_")).map(_._3).sum
+    val dedupSteady = timed.filter(_._1.startsWith("dedup_")).map(_._2).sum
+    System.err.println(
+      f"[bench] dedup_family cold=$dedupCold%.2f steady=$dedupSteady%.2f")
     System.err.println(f"[bench] memo_build_s $memoBuild%.2f")
     // …short total line LAST so a tail capture always parses it. The
     // sentinel fields ride along so host contention is provable from the
     // graded artifact itself (spin_ms ≫ ~100 ⇒ loaded host, not a code
     // regression).
-    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"memo_build_s":$memoBuild%.2f,"load_avg":$load1%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f}""")
     spark.stop()
   }
 }

@@ -72,8 +72,11 @@ object Fns2 {
     // inverse property (decrypt ∘ encrypt = id, checked per row) and the
     // ciphertext LENGTH (12-byte IV + payload + 16-byte tag). DuckDB has
     // no AES surface, so the oracle states the algebraic expectation
-    // directly: ok = true, ct_len = n_chars + 28. Pure per-row codegen'd
-    // work — no shuffle, scan-bound at any scale.
+    // directly: ok = true, ct_len = octet_length(text) + 28 — BYTE
+    // length, because Spark's length() on the BINARY ciphertext counts
+    // bytes; a non-ASCII fixture regen (lang includes 'zh') keeps parity
+    // where a char-count expectation would silently break (r8 advice).
+    // Pure per-row codegen'd work — no shuffle, scan-bound at any scale.
     Spec("fn_aes_roundtrip",
       (s, d) => t(s, d, "documents")
         .withColumn("ct",
@@ -84,7 +87,7 @@ object Fns2 {
           length(col("ct")).cast("long").as("ct_len"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, true AS ok,
-                CAST(n_chars + 28 AS BIGINT) AS ct_len
+                CAST(octet_length(CAST(text AS BLOB)) + 28 AS BIGINT) AS ct_len
               FROM documents ORDER BY doc_id""")),
 
     // Spark `mask()` — the built-in data-redaction scalar (upper→X,

@@ -257,19 +257,19 @@ object Inference {
     // anywhere, so both engines agree to the bit before the final round.
     // Tie-safe by construction: every row of a tie group carries the same
     // r2, so row_number's arbitrary order within ties cannot leak out.
-    // Scale: exact AUC requires a total order on scores; the global sort is
-    // distributed (range partition), but row_number's single-partition
-    // window is the honest bottleneck — at 100 TB swap it for the two-pass
-    // bucketed rank demonstrated in win_rank_scalable (Windows.scala); the
-    // declared query states the semantics at eval grain (scored eval sets
-    // are sampled, orders of magnitude smaller than the corpus).
+    // Scale: exact AUC requires a total order on scores — provided by
+    // ScalableCumulate's bucketed two-pass row number (16-way parallel,
+    // no single-partition window). Tied scores rank arbitrarily WITHIN a
+    // bucket, but ties never straddle buckets, so the per-score
+    // min(rn)+max(rn) midrank is exact — the same tie-insensitivity the
+    // single-window formulation relied on.
     Spec("eval_auc",
       (s, d) => {
         val sc = t(s, d, "embeddings")
           .select(element_at(col("embedding"), 1).cast("double").as("score"),
             when(col("label") === 1, 1L).otherwise(0L).as("y"))
-        val rk = sc.withColumn("rn",
-          row_number().over(Window.orderBy("score")).cast("long"))
+        val rk = ScalableCumulate.rowNumber(sc, col("score"),
+          ascending = true, Seq(col("score")), "rn")._1
         val ar = rk.groupBy("score").agg((min("rn") + max("rn")).as("r2"))
         rk.join(ar, "score")
           .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
@@ -356,17 +356,20 @@ object Inference {
     // (score, vec_id — ties must land deterministically for the bin
     // populations to match across engines); each bin reports only exact
     // integers, raw min/max score endpoints, and ONE division — zero
-    // float accumulation, the eval_auc discipline. The global-order
-    // window is single-partition here (bounded |embeddings| model-eval
-    // set); an unbounded corpus would assign bins via the two-pass
-    // range-partitioned rank of win_rank_scalable instead.
+    // float accumulation, the eval_auc discipline. Bins come from
+    // ScalableCumulate's two-pass row number + arithmetic ntile over the
+    // total (score, vec_id) order — no single-partition window even if
+    // the eval set grows to corpus scale.
     Spec("eval_calibration",
       (s, d) => {
         val sc = t(s, d, "embeddings")
           .select(col("vec_id"),
             element_at(col("embedding"), 1).cast("double").as("score"),
             when(col("label") === 1, 1L).otherwise(0L).as("y"))
-        sc.withColumn("bin", ntile(10).over(Window.orderBy("score", "vec_id")))
+        val (rn, n) = ScalableCumulate.rowNumber(sc, col("score"),
+          ascending = true, Seq(col("score"), col("vec_id")), "__rn")
+        rn.withColumn("bin",
+            ScalableCumulate.ntileOf(col("__rn"), n, 10).cast("int"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
             round(sum("y").cast("double") / count(lit(1)), 6).as("pos_rate"),

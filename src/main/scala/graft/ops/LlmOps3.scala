@@ -258,8 +258,12 @@ object LlmOps3 {
           .groupBy("token", "df")
           .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
           .select(col("token"), col("df"), col("s1").as("total_occ"),
+            // nullif-guard: a df=1 token would zero the denominator, and
+            // NULL-vs-inf division semantics diverge across engines
+            // (win_rolling_corr precedent; r8 advice) — only fixture
+            // density prevented it before
             round((col("df") * col("s2") - col("s1") * col("s1")).cast("double") /
-              ((col("df") - 1) * col("s1")).cast("double"), 6).as("vmr"))
+              expr("nullif(cast((df - 1) * s1 as double), 0.0)"), 6).as("vmr"))
           .orderBy("token")
       },
       Some("""WITH tc AS (
@@ -278,7 +282,7 @@ object LlmOps3 {
                 GROUP BY tc.token, top.df)
               SELECT token, df, s1 AS total_occ,
                 round(CAST(df * s2 - s1 * s1 AS DOUBLE)
-                  / CAST((df - 1) * s1 AS DOUBLE), 6) AS vmr
+                  / nullif(CAST((df - 1) * s1 AS DOUBLE), 0.0), 6) AS vmr
               FROM s ORDER BY token""")),
 
     // Heaps'-law vocabulary-growth curve: distinct-vocabulary size after
@@ -287,18 +291,20 @@ object LlmOps3 {
     // means duplicated/templated ingest). The prefix distinct-count is
     // the FIRST-OCCURRENCE trick (token → min doc_id, one shuffle), so
     // every checkpoint is a conditional sum over that compressed
-    // relation — never a per-checkpoint rescan. Checkpoints are
-    // fractions of the corpus (deciles of max doc_id), so the query is
-    // scale-invariant; exact integers end to end.
+    // relation — never a per-checkpoint rescan. Checkpoints are deciles
+    // of the LAST VOCABULARY-INTRODUCING doc_id (max first_doc — trailing
+    // docs that add no new tokens shift no checkpoint), so the query is
+    // scale-invariant; exact integers end to end. The corpus max is a
+    // 1-row aggregate broadcast back over the vocab relation (the
+    // standard scalar decorrelation) — not a window over the unbounded
+    // vocab grain.
     Spec("text_heaps_law",
       (s, d) => {
         val firsts = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy("token").agg(min("doc_id").as("first_doc"))
-        val wAll = Window.partitionBy(lit(1))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        firsts
-          .withColumn("mx", max("first_doc").over(wAll))
+        val mx = firsts.agg(max("first_doc").as("mx"))
+        firsts.crossJoin(broadcast(mx))
           .select(explode(expr("sequence(1, 10)")).as("decile"),
             col("first_doc"), col("mx"))
           .where(col("first_doc") * 10 <= col("decile") * col("mx"))

@@ -172,18 +172,21 @@ object TextAnalysis {
     // corpus-health diagnostic (natural text has log-freq ≈ -1·log-rank;
     // a slope far from -1 flags synthetic or boilerplate-heavy data).
     // Scale shape: the vocabulary is first cut to the top-500 terms by a
-    // TakeOrderedAndProject (count → top-k, no global sort of the vocab),
-    // and only those 500 rows see the single-partition rank window and the
-    // regression — the same bounded-top-k-then-analyze discipline as
+    // TakeOrderedAndProject (count → top-k, no global sort of the vocab);
+    // the rank over those 500 rows rides ScalableCumulate's bucketed
+    // two-pass so even the bounded stage plans no single-partition
+    // window — the same bounded-top-k-then-analyze discipline as
     // text_oov_rate. regr over ln() inputs: both engines feed 1-ulp-exact
     // libm logs into the co-moment sums; round(4) leaves ~7 orders of
     // magnitude of slack over the accumulated drift.
     Spec("text_zipf",
       (s, d) => {
+        // localCheckpoint the 500-row top-k so the two helper passes
+        // (bounds + bucket partials) re-scan 500 rows, not the corpus
         val top = toks(s, d).groupBy("token").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), asc("token")).limit(500)
-        val w = Window.orderBy(desc("n"), asc("token"))
-        top.withColumn("rnk", row_number().over(w))
+          .orderBy(desc("n"), asc("token")).limit(500).localCheckpoint()
+        ScalableCumulate.rowNumber(top, col("n"), ascending = false,
+            Seq(desc("n"), asc("token")), "rnk")._1
           .agg(
             round(regr_slope(log(col("n")), log(col("rnk"))), 4).as("zipf_slope"),
             round(regr_r2(log(col("n")), log(col("rnk"))), 4).as("r2"),

@@ -62,4 +62,20 @@ class SchemaDriftSpec extends AnyFunSuite {
       assert(Tables.t(TestSpark.spark, TestSpark.sf, name).limit(1).count() == 1L,
         s"table '$name' read empty from ${TestSpark.sf}")
   }
+
+  test("fixture density pin: at most 18 lineitems per order") {
+    // agg_compound_product folds Π(100 + d) into DECIMAL(38,0): 111^18
+    // ≈ 6.6e36 fits, 19 factors can overflow to an ANSI error rather
+    // than degrade. The generator has produced ≤17 lines per order every
+    // round; if a regen crosses 18 this pin makes the failure
+    // diagnosable (r8 advice) — rework that query's accumulator before
+    // raising the bound.
+    import org.apache.spark.sql.functions._
+    val mx = Tables.t(TestSpark.spark, TestSpark.sf, "lineitem")
+      .groupBy("l_orderkey").count().agg(max("count")).head().getLong(0)
+    assert(mx <= 18L,
+      s"testdata regen produced an order with $mx lineitems — " +
+        "agg_compound_product's DECIMAL(38,0) numerator can overflow; " +
+        "see its scaladoc for the headroom analysis")
+  }
 }
