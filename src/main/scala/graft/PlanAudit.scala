@@ -36,8 +36,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.specs.sortBy(_.name).foreach { sp =>
+      // visible shuffles in the final plan + shuffles hidden behind any
+      // ScalableCumulate.materialize checkpoint built during construction
+      // (round-9 advice: the checkpoint must not create a budget blind
+      // spot) — PlanGuardSpec reproduces this exact recipe.
+      ops.ScalableCumulate.resetHiddenShuffles()
       val plan = sp.fn(spark, sfDir).queryExecution.executedPlan.toString
-      println(s"${sp.name}\t${shuffleCount(plan)}")
+      println(s"${sp.name}\t${shuffleCount(plan) + ops.ScalableCumulate.hiddenShuffles}")
     }
     spark.stop()
   }

@@ -139,27 +139,26 @@ object Analytics2 {
     // carry exact-decimal weight sums, and the pick condition is
     // 2·cum_weight ≥ total_weight, kept entirely in decimal space (no
     // halving division, no float threshold) so the qualifying boundary is
-    // exact on both engines. Same scale story as agg_exact_median: every
-    // window runs over the value-compressed histogram, never raw facts.
+    // exact on both engines. Scale shape (round-10): the pick runs
+    // through ScalableCumulate.quantilePicks over the RAW rows — no
+    // value-histogram materialization at all (prices are near-unique, so
+    // that "compression" moved data-sized rows through a shuffle for
+    // nothing); per-(flag, bucket) weight partials reduce map-side to
+    // NB·|flags| rows, the crossing bucket is found driver-exact, and
+    // the only window runs over that one bucket per flag. The grand
+    // total rides back as the picks' `total` column — one lineitem scan
+    // per job, zero data-sized shuffles.
     Spec("agg_weighted_median",
       (s, d) => {
         val wdec = col("l_quantity").cast(DecimalType(30, 2))
-        val counts = t(s, d, "lineitem")
-          .groupBy(col("l_returnflag"), col("l_extendedprice"))
-          .agg(sum(wdec).as("w"))
-        // near-unique prices → unbounded per-flag partitions; exact
-        // decimal weights cumulate through the bucketed two-pass
-        val cum = ScalableCumulate.cumSum(counts, col("l_extendedprice"),
-          ascending = true, Seq(col("l_extendedprice")),
-          Seq(ScalableCumulate.Cum("cum", col("w"))),
-          groupCols = Seq("l_returnflag"))
-        val tot = t(s, d, "lineitem").groupBy(col("l_returnflag"))
-          .agg(sum(wdec).as("wtot"))
-        cum.join(broadcast(tot), "l_returnflag")
-          .where(col("cum") * 2 >= col("wtot"))
-          .groupBy(col("l_returnflag"), col("wtot"))
-          .agg(min(col("l_extendedprice")).as("wmedian_price"))
-          .select(col("l_returnflag"), col("wmedian_price"),
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            wdec.as("w"))
+        ScalableCumulate.quantilePicks(li, col("l_extendedprice"),
+            Seq(col("l_extendedprice")), col("w"), Seq((1L, 2L)),
+            groupCols = Seq("l_returnflag"), totalName = "wtot")
+          .select(col("l_returnflag"),
+            col("pick_0").as("wmedian_price"),
             col("wtot").cast(DoubleType).as("total_weight"))
           .orderBy("l_returnflag")
       },

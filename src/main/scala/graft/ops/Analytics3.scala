@@ -885,28 +885,30 @@ object Analytics3 {
     // both passes run over value-compressed histograms, and the
     // deviation values are exact decimal differences (prices have 2
     // decimals), so the pick boundaries cannot round-tie. o_totalprice
-    // is near-unique, so the histogram grain is unbounded — the count
-    // cumulation runs through ScalableCumulate's bucketed two-pass, not
-    // a single-task window.
+    // is near-unique, so the value grain is unbounded — both medians
+    // run through ScalableCumulate.quantilePicks: bucket partials over
+    // the raw rows (no histogram materialization, no data-sized
+    // shuffle), driver-exact crossing-bucket search, window over that
+    // one bucket. The first pick is collected (one scalar — the bounded
+    // driver-collect class) so the deviation column is a plain literal
+    // projection, and the result is a driver-composed 1-row relation —
+    // no fact-table re-scan at action time beyond the picks' own jobs.
     Spec("agg_mad",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
-          val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          ScalableCumulate.cumSum(counts, col(c), ascending = true,
-              Seq(col(c)), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
-              totals = Map("cum" -> "n"))
-            .where(col("cum") * 2 >= col("n"))
-            .agg(min(col(c)).as("m"))
-        }
-        val o = t(s, d, "orders")
-          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
-        val med = lowerMedian(o, "x")
-        val dev = o.crossJoin(broadcast(med))
-          .select(abs(col("x") - col("m")).as("dev"))
-        val mad = lowerMedian(dev, "dev")
-        med.select(col("m").cast("double").as("median_price"))
-          .crossJoin(broadcast(mad.select(col("m").cast("double").as("mad"))))
+        // both picks make three bounded passes each over the same
+        // single-column projection — materialize it once so all six jobs
+        // read the stored column, not six parquet scans
+        val o = ScalableCumulate.materialize(t(s, d, "orders")
+          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x")))
+        def pick(df: org.apache.spark.sql.DataFrame, c: String) =
+          ScalableCumulate.audited(
+            ScalableCumulate.quantilePicks(df, col(c), Seq(col(c)),
+              lit(1L), Seq((1L, 2L)))).head().getDecimal(0)
+        val m = pick(o, "x")
+        val mad = pick(o.select(abs(col("x") - lit(m)).as("dev")), "dev")
+        s.range(1).select(lit(m).cast("double").as("median_price"),
+          lit(mad).cast("double").as("mad"))
       },
       Some("""WITH x AS (
                 SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
@@ -938,24 +940,23 @@ object Analytics3 {
 
     // Expected shortfall / CVaR(95): the mean of the upper tail at or
     // above the exact p95 pick — risk's answer to "p95 hides the worst
-    // 5%". The threshold is the histogram-cumulation pick (cum·20 ≥
+    // 5%". The threshold is the exact order-statistic pick (cum·20 ≥
     // 19·n — cross-multiplied, no interpolation, no engine quantile);
     // ties at the threshold are INCLUDED by definition here (stated, so
     // both engines agree even when the 5% boundary is degenerate). Tail
-    // mean is an exact decimal sum with one final division. The
-    // near-unique price histogram is unbounded, so the cumulation runs
-    // through ScalableCumulate's bucketed two-pass.
+    // mean is an exact decimal sum with one final division. The pick
+    // runs through ScalableCumulate.quantilePicks — bucket partials over
+    // the raw rows (no histogram materialization, no data-sized
+    // shuffle), crossing bucket found on the driver, window over that
+    // one bucket only.
     Spec("agg_cvar",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
-        val counts = o.groupBy("x").agg(count(lit(1)).as("cnt"))
-        val thr = ScalableCumulate.cumSum(counts, col("x"), ascending = true,
-            Seq(col("x")), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
-            totals = Map("cum" -> "n"))
-          .where(col("cum") * 20 >= col("n") * 19)
-          .agg(min("x").as("p95"))
+        val thr = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
+            lit(1L), Seq((19L, 20L)))
+          .select(col("pick_0").as("p95"))
         o.crossJoin(broadcast(thr))
           .where(col("x") >= col("p95"))
           .groupBy("p95")
@@ -1017,10 +1018,11 @@ object Analytics3 {
               ORDER BY day""")),
 
     // Winsorized mean — the robust-mean companion to agg_mad/agg_cvar:
-    // clamp to the exact p05/p95 histogram picks (both from ONE
-    // cumulative pass — ScalableCumulate's bucketed two-pass over the
-    // unbounded price histogram — via conditional mins), then an exact
-    // decimal mean of the clamped values. Clamping (least/greatest) is closed over the
+    // clamp to the exact p05/p95 order-statistic picks (both fracs
+    // share ONE bounds job and ONE partials job in
+    // ScalableCumulate.quantilePicks; the final window touches only the
+    // two crossing buckets), then an exact decimal mean of the clamped
+    // values. Clamping (least/greatest) is closed over the
     // 2-decimal domain, so the sum stays exact and the single division
     // is bit-identical.
     Spec("agg_winsorized_mean",
@@ -1028,12 +1030,9 @@ object Analytics3 {
         import org.apache.spark.sql.types.DecimalType
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
-        val counts = o.groupBy("x").agg(count(lit(1)).as("cnt"))
-        val thr = ScalableCumulate.cumSum(counts, col("x"), ascending = true,
-            Seq(col("x")), Seq(ScalableCumulate.Cum("cum", col("cnt"))),
-            totals = Map("cum" -> "n"))
-          .agg(min(when(col("cum") * 20 >= col("n"), col("x"))).as("p05"),
-            min(when(col("cum") * 20 >= col("n") * 19, col("x"))).as("p95"))
+        val thr = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
+            lit(1L), Seq((1L, 20L), (19L, 20L)))
+          .select(col("pick_0").as("p05"), col("pick_1").as("p95"))
         o.crossJoin(broadcast(thr))
           .select(col("p05"), col("p95"),
             greatest(col("p05"), least(col("p95"), col("x"))).as("cx"),

@@ -35,14 +35,96 @@ import org.apache.spark.sql.types._
   * collect (InferMapPartitions.scala): O(NB·|groups|) longs/decimals, never
   * data-sized. PlanGuardSpec's unpartitioned-window guard enforces that the
   * routed queries stay on this path.
+  *
+  * Input materialization (round-10, the r9 bench finding): the three
+  * actions above would otherwise each re-execute the INPUT's lineage —
+  * and every call site feeds a derived aggregate (a value histogram, a
+  * per-user rollup), so the upstream scan+aggregate ran three times per
+  * execution (agg_mad, chaining two cumSum calls, ran it six times).
+  * [[materialize]] localCheckpoints the input once, so the bounds job,
+  * the partials collect, and the final query all read the materialized
+  * relation. On a cluster, localCheckpoint stores each partition on the
+  * executor that computed it — O(data/executors) transient local storage,
+  * strictly cheaper than recomputing the dominant stage twice more. (The
+  * blocks are not resilient to executor loss; a lost block fails the job
+  * and the batch retries — the standard localCheckpoint trade.)
   */
 object ScalableCumulate {
 
-  /** Bucket fan-out. 16 ≥ local[8]/local[32] parallelism per group; at a
-    * real 1000-executor deployment this is the one knob to raise (shuffle
-    * width is NB·|groups| tasks).
+  /** Default bucket fan-out. 16 ≥ local[8]/local[32] parallelism per
+    * group; at a real 1000-executor deployment raise
+    * `spark.graft.cumulate.buckets` (shuffle width is NB·|groups| tasks)
+    * — no code edit needed, see [[buckets]].
     */
   val NB = 16
+
+  /** Effective bucket fan-out: `spark.graft.cumulate.buckets` if set
+    * (session conf, validated ≥ 1), else [[NB]]. Bucket count only shapes
+    * task sizes, never results — ScalableCumulateSpec pins bit-identity
+    * across NB values.
+    */
+  def buckets(spark: org.apache.spark.sql.SparkSession): Int = {
+    val n = spark.conf.get("spark.graft.cumulate.buckets", NB.toString).toInt
+    require(n >= 1, s"spark.graft.cumulate.buckets must be >= 1, got $n")
+    n
+  }
+
+  /** Shuffle exchanges hidden behind this thread's [[materialize]] calls
+    * since the last [[resetHiddenShuffles]] — the audit seam for the
+    * checkpoint blind spot (round-9 advice): a localCheckpointed input is
+    * a LogicalRDD in the final plan, so its upstream shuffles vanish from
+    * the plan string. PlanAudit and PlanGuardSpec add this ledger to the
+    * visible count, keeping the pinned per-query shuffle budgets honest
+    * end-to-end. Thread-local because sbt may build plans concurrently.
+    * (The two bounded helper jobs — the bounds aggregate and the NB-grain
+    * partials groupBy, both over the checkpointed relation — are fixed
+    * O(NB·|groups|) shapes and stay outside the budget, as they were
+    * before the rewrite.)
+    */
+  private val hiddenLedger = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+  def resetHiddenShuffles(): Unit = hiddenLedger.set(0)
+  def hiddenShuffles: Int = hiddenLedger.get
+
+  /** Record `df`'s plan's shuffle exchanges in the hidden ledger and
+    * return it unchanged — for an EAGER helper job whose plan never
+    * reaches the returned query (a bounds aggregate, a partials collect,
+    * a driver-collected pick), so the pinned budget still charges it.
+    */
+  def audited(df: DataFrame): DataFrame = {
+    hiddenLedger.set(hiddenLedger.get +
+      graft.PlanAudit.shuffleCount(df.queryExecution.executedPlan.toString))
+    df
+  }
+
+  /** Materialize `df` once via eager localCheckpoint, recording its
+    * upstream shuffle count in the hidden ledger first. No-op when the
+    * plan is already a materialized LogicalRDD (so a call site may
+    * materialize a histogram itself, reuse it, and feed it to [[cumSum]]
+    * without a second copy). Refuses an input whose lineage plans an
+    * unpartitioned Window: checkpointing would hide exactly the
+    * single-task-sort hazard this helper exists to retire, so that is a
+    * bug at the call site, not a plan to bless.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ =>
+        val qe = df.queryExecution
+        val unpart = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        require(unpart.isEmpty,
+          "ScalableCumulate.materialize: input lineage plans an " +
+            "unpartitioned Window — checkpointing would hide a " +
+            "single-task global sort from the plan guard; route that " +
+            "cumulation through ScalableCumulate instead")
+        hiddenLedger.set(hiddenLedger.get +
+          graft.PlanAudit.shuffleCount(qe.executedPlan.toString))
+        df.localCheckpoint()
+    }
 
   /** One cumulative sum to compute: output column `name` = running sum of
     * `value` over the global order (within the group, if grouped).
@@ -130,6 +212,149 @@ object ScalableCumulate {
         .otherwise(lit(r) + idiv(rn - 1 - lit((q + 1) * r), q) + 1)
   }
 
+  /** Exact order-statistic picks — the pick-query fast path (round-10).
+    *
+    * [[cumSum]] answers "running sum on EVERY row", which forces the full
+    * relation through a window; median/p95-style queries only need "the
+    * first `primary` value (ascending) whose cumulative `value` sum
+    * crosses num/den of the total". That needs no checkpoint and no
+    * data-sized shuffle at all:
+    *
+    *  - Job 1 (bounds): approx-percentile bucket bounds of `primary` over
+    *    the RAW input + the NaN/null guard. No groupBy, no shuffle of
+    *    data.
+    *  - Job 2 (partials): per-(group, bucket) `sum(value)` — map-side
+    *    combine straight to NB·|groups| rows, collected and prefix-summed
+    *    on the driver in exact arithmetic. The crossing bucket b* per
+    *    (group, frac) — the first b with den·(off(b)+s(b)) ≥ num·W — is
+    *    then DRIVER-known, and s(b*) > 0 by construction.
+    *  - Job 3 (the returned plan): inner-join a broadcast aux relation of
+    *    the needed (group, bucket, offset, W) rows — filtering the scan
+    *    to the crossing buckets (~1/NB of rows) — cumulate within them,
+    *    and pick `min(primary)` where den·(off+cum) ≥ num·W. Exact long /
+    *    decimal comparisons end-to-end; the approx bounds only decide
+    *    bucket SIZES, never the result.
+    *
+    * Ties in `primary` may straddle buckets here (unlike [[cumSum]]):
+    * harmless, because the pick is the first value at which ANY row
+    * qualifies — the min over qualifying rows lands on the histogram
+    * pick value regardless of how its tie-rows were split or ordered.
+    *
+    * At 100 TB: two full scans + one 1/NB-filtered scan (the bucket
+    * range-filter on `primary` is min/max-prunable at the parquet
+    * row-group level), with only O(NB·|groups|) rows ever moved —
+    * strictly cheaper than materializing a near-unique value histogram.
+    *
+    * `fracs` are (num, den) with 0 < num ≤ den; `value` must be non-null
+    * with an exact partial type (long / int / decimal). Returns one row
+    * per group: groupCols ++ pick_0..pick_{k-1} (typed as `primary`) ++
+    * `totalName` (the group's exact grand total). The eager bounds and
+    * partials jobs register their shuffles in the hidden ledger, so the
+    * pinned budgets stay honest.
+    */
+  def quantilePicks(
+      df: DataFrame,
+      primary: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      fracs: Seq[(Long, Long)],
+      groupCols: Seq[String] = Nil,
+      totalName: String = "total"): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
+      s"fracs must satisfy 0 < num <= den, got $fracs")
+    val spark = df.sparkSession
+    val pd = primary.cast(DoubleType)
+    val nbv = buckets(spark)
+
+    // Job 1: bounds + NaN/null guard (accuracy 1000: bounds only shape
+    // bucket sizes, so a cheaper sketch costs nothing in exactness).
+    val qs = (1 until nbv).map(i => i.toDouble / nbv)
+    val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
+    val boundsRow = audited(df.agg(
+      percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
+      count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head()
+    require(boundsRow.getLong(1) == 0L,
+      s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
+    val bounds: Seq[Double] =
+      if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
+      else boundsRow.getSeq[Double](0)
+    val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(lit(b) < pd, 1).otherwise(0)
+    }
+
+    // Job 2: per-(group, bucket) partials → driver prefix + crossing
+    // bucket per (group, frac), all in exact arithmetic.
+    val withB = df.withColumn("__bkt", bkt)
+    val keyCols = groupCols.map(col) :+ col("__bkt")
+    val part = withB.groupBy(keyCols: _*).agg(sum(value).as("__s"))
+    val partSchema = part.schema
+    val ng = groupCols.size
+    zero(partSchema("__s").dataType) // reject non-exact partial types
+    val byGroup: Map[Seq[Any], Array[Row]] =
+      audited(part).collect().groupBy(r => (0 until ng).map(r.get).toSeq)
+
+    def geq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x >= y
+      case (x: Integer, y: Integer)               => x >= y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y) >= 0
+      case _ => throw new IllegalStateException("mismatched partials")
+    }
+    def times(a: Any, k: Long): Any = a match {
+      case x: java.lang.Long => java.lang.Long.valueOf(Math.multiplyExact(x, k))
+      case x: Integer        => java.lang.Long.valueOf(Math.multiplyExact(x.longValue(), k))
+      case x: java.math.BigDecimal =>
+        x.multiply(java.math.BigDecimal.valueOf(k))
+      case _ => throw new IllegalStateException("non-exact partial")
+    }
+
+    // aux rows: (group..., bkt, off, W, need_0..need_{k-1})
+    val auxRows = mutable.ArrayBuffer.empty[Row]
+    for ((gkey, grs) <- byGroup) {
+      val sorted = grs.sortBy(_.getInt(ng))
+      val sums = sorted.map(_.get(ng + 1))
+      val zeroV = zero(partSchema("__s").dataType)
+      val offs = sums.scanLeft(zeroV)(plus).init
+      val w = sums.foldLeft(zeroV)(plus)
+      val crossing: Seq[Int] = fracs.map { case (num, den) =>
+        val target = times(w, num)
+        val idx = sorted.indices.find(i =>
+          geq(times(plus(offs(i), sums(i)), den), target))
+        idx.getOrElse(sorted.length - 1)
+      }
+      for (i <- sorted.indices if crossing.contains(i))
+        auxRows += Row.fromSeq(gkey ++ Seq(sorted(i).getInt(ng), offs(i), w) ++
+          fracs.indices.map(f => crossing(f) == i))
+    }
+    val sDt = partSchema("__s").dataType
+    val auxSchema = StructType(
+      groupCols.map(g => partSchema(g)) ++
+        Seq(StructField("__bkt", IntegerType, nullable = false),
+          StructField("__off", sDt), StructField("__W", sDt)) ++
+        fracs.indices.map(f =>
+          StructField(s"__need_$f", BooleanType, nullable = false)))
+    val auxDf = spark.createDataFrame(
+      java.util.Arrays.asList(auxRows.toSeq: _*), auxSchema)
+
+    // Job 3 (returned): crossing-bucket-only window + conditional mins.
+    val w = Window
+      .partitionBy((groupCols :+ "__bkt").map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = withB.join(broadcast(auxDf), groupCols :+ "__bkt")
+      .withColumn("__cum", sum(value).over(w) + col("__off"))
+    val pickAggs = fracs.zipWithIndex.map { case ((num, den), f) =>
+      min(when(col(s"__need_$f") &&
+          col("__cum") * lit(den) >= col("__W") * lit(num), primary))
+        .as(s"pick_$f")
+    }
+    joined.groupBy((groupCols :+ "__W").map(col): _*)
+      .agg(pickAggs.head, pickAggs.tail: _*)
+      .select((groupCols.map(col) ++
+        fracs.indices.map(f => col(s"pick_$f")) :+
+        col("__W").as(totalName)): _*)
+  }
+
   private def core(
       df: DataFrame,
       primary: Column,
@@ -141,19 +366,34 @@ object ScalableCumulate {
       : (DataFrame, Map[Seq[Any], Map[String, Any]]) = {
     val spark = df.sparkSession
     val pd = primary.cast(DoubleType)
+    val in = materialize(df)
 
     // Pass 0: percentile bounds of the primary order key. Duplicate bounds
-    // (low-cardinality keys) just yield empty buckets — harmless.
-    val qs = (1 until NB).map(i => i.toDouble / NB)
-    val boundsRow = df.agg(
-      percentile_approx(pd, array(qs.map(lit): _*), lit(10000)).as("b")).head()
+    // (low-cardinality keys) just yield empty buckets — harmless. The same
+    // job counts NaN/null primaries: `lit(b) < pd` is false for NaN and
+    // null for null, so such rows would silently land in bucket 0 while
+    // sorting LAST ascending — misranked. Every call site cumulates over
+    // non-null keys, so this fails loudly instead of quietly misplacing.
+    val nbv = buckets(spark)
+    val qs = (1 until nbv).map(i => i.toDouble / nbv)
+    // nbv == 1 degenerates to a single bucket (no bounds needed); feed the
+    // aggregate a placeholder percentile so the NaN check still runs.
+    val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
+    val boundsRow = in.agg(
+      percentile_approx(pd, array(qsSafe.map(lit): _*), lit(10000)).as("b"),
+      count(when(pd.isNull || isnan(pd), 1)).as("bad")).head()
+    require(boundsRow.getLong(1) == 0L,
+      s"ScalableCumulate: ${boundsRow.getLong(1)} NaN/null primary order " +
+        "keys — bucket assignment cannot rank them; filter or impute " +
+        "upstream")
     val bounds: Seq[Double] =
-      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+      if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
+      else boundsRow.getSeq[Double](0)
     val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
       if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
       else acc + when(pd < lit(b), 1).otherwise(0)
     }
-    val withB = df.withColumn("__bkt", bkt)
+    val withB = in.withColumn("__bkt", bkt)
 
     // Pass 1: per-(group, bucket) exact partials → driver prefix sums.
     val aggExprs = cums.map(c => sum(c.value).as(c.name))

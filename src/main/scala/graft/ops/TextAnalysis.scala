@@ -181,10 +181,14 @@ object TextAnalysis {
     // magnitude of slack over the accumulated drift.
     Spec("text_zipf",
       (s, d) => {
-        // localCheckpoint the 500-row top-k so the two helper passes
-        // (bounds + bucket partials) re-scan 500 rows, not the corpus
-        val top = toks(s, d).groupBy("token").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), asc("token")).limit(500).localCheckpoint()
+        // materialize the 500-row top-k so the two helper passes (bounds +
+        // bucket partials) re-scan 500 rows, not the corpus; via the
+        // ScalableCumulate ledger so the corpus-scale tokenize/top-k
+        // shuffles hidden behind the checkpoint still count toward the
+        // pinned shuffle budget (round-9 advice #3)
+        val top = ScalableCumulate.materialize(
+          toks(s, d).groupBy("token").agg(count(lit(1)).as("n"))
+            .orderBy(desc("n"), asc("token")).limit(500))
         ScalableCumulate.rowNumber(top, col("n"), ascending = false,
             Seq(desc("n"), asc("token")), "rnk")._1
           .agg(

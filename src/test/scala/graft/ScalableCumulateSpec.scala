@@ -114,4 +114,119 @@ class ScalableCumulateSpec extends AnyFunSuite {
         Seq(col("x")), Seq(Cum("cum", col("v"))))
     }
   }
+
+  test("NaN / null primary keys fail loudly instead of misranking") {
+    // `lit(b) < pd` is false for NaN (null for null), so both would land
+    // in bucket 0 while sorting LAST ascending — silent global misrank.
+    // The bounds job counts them and refuses (round-9 advice #1).
+    import spark.implicits._
+    val nan = Seq((1.0, 1L), (Double.NaN, 1L)).toDF("x", "v")
+    intercept[IllegalArgumentException] {
+      ScalableCumulate.cumSum(nan, col("x"), ascending = true,
+        Seq(col("x")), Seq(Cum("cum", col("v"))))
+    }
+    val nul = Seq((Some(1.0), 1L), (Option.empty[Double], 2L)).toDF("x", "v")
+    intercept[IllegalArgumentException] {
+      ScalableCumulate.cumSum(nul, col("x"), ascending = true,
+        Seq(col("x")), Seq(Cum("cum", col("v"))))
+    }
+  }
+
+  test("bucket-count conf knob changes fan-out, never results") {
+    val h = t(spark, sf, "orders")
+      .groupBy(col("o_totalprice").as("x")).agg(count(lit(1)).as("cnt"))
+    val default = ScalableCumulate.cumSum(h, col("x"), ascending = true,
+      Seq(col("x")), Seq(Cum("cum", col("cnt"))))
+    val rows = sortedRows(default, "x", "cnt", "cum")
+    for (nb <- Seq("1", "3", "64")) {
+      spark.conf.set("spark.graft.cumulate.buckets", nb)
+      try {
+        val alt = ScalableCumulate.cumSum(h, col("x"), ascending = true,
+          Seq(col("x")), Seq(Cum("cum", col("cnt"))))
+        assert(sortedRows(alt, "x", "cnt", "cum") == rows,
+          s"results differ at $nb buckets")
+      } finally spark.conf.unset("spark.graft.cumulate.buckets")
+    }
+    spark.conf.set("spark.graft.cumulate.buckets", "0")
+    try intercept[IllegalArgumentException] {
+      ScalableCumulate.cumSum(h, col("x"), ascending = true,
+        Seq(col("x")), Seq(Cum("cum", col("cnt"))))
+    } finally spark.conf.unset("spark.graft.cumulate.buckets")
+  }
+
+  test("quantilePicks matches the naive histogram-cumulation pick") {
+    // grouped + weighted: quantity-weighted median price per return flag
+    val li = t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast(DecimalType(30, 2)).as("w"))
+    val cum = li.groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("w").as("hw"))
+      .withColumn("cum", sum("hw").over(
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wtot", sum("hw").over(Window.partitionBy("l_returnflag")))
+    val naive = cum.where(col("cum") * 2 >= col("wtot"))
+      .groupBy("l_returnflag", "wtot")
+      .agg(min("l_extendedprice").as("pick_0"))
+      .select(col("l_returnflag"), col("pick_0"), col("wtot"))
+    val fast = ScalableCumulate.quantilePicks(li, col("l_extendedprice"),
+      Seq(col("l_extendedprice")), col("w"), Seq((1L, 2L)),
+      groupCols = Seq("l_returnflag"), totalName = "wtot")
+    assert(sortedRows(fast, "l_returnflag", "pick_0", "wtot") ==
+      sortedRows(naive, "l_returnflag", "pick_0", "wtot"))
+  }
+
+  test("quantilePicks: multiple fracs share one partials pass, exact picks") {
+    val o = t(spark, sf, "orders")
+      .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+    val cum = o.groupBy("x").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val naive = cum.agg(
+      min(when(col("cum") * 20 >= col("n"), col("x"))).as("pick_0"),
+      min(when(col("cum") * 2 >= col("n"), col("x"))).as("pick_1"),
+      min(when(col("cum") * 20 >= col("n") * 19, col("x"))).as("pick_2"))
+    val fast = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
+      lit(1L), Seq((1L, 20L), (1L, 2L), (19L, 20L)))
+    assert(sortedRows(fast, "pick_0", "pick_1", "pick_2") ==
+      sortedRows(naive, "pick_0", "pick_1", "pick_2"))
+  }
+
+  test("quantilePicks is exact when ties straddle bucket bounds") {
+    // 1000 rows over only 4 distinct values: every percentile bound lands
+    // ON a tie group, so tie rows split across buckets — the pick must
+    // still be the histogram pick (first value where ANY row qualifies)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 4) + 10L).toDF("x")
+    val fast = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
+      lit(1L), Seq((1L, 2L), (3L, 4L)))
+    val r = fast.head()
+    // 250×{10,11,12,13}: cum(11)=500 ≥ 500 → median 11; cum(12)=750 → p75 12
+    assert(r.getLong(0) == 11L && r.getLong(1) == 12L && r.getLong(2) == 1000L)
+  }
+
+  test("materialize is a checkpoint-once seam with an honest ledger") {
+    val h = t(spark, sf, "orders")
+      .groupBy(col("o_totalprice").as("x")).agg(count(lit(1)).as("cnt"))
+    ScalableCumulate.resetHiddenShuffles()
+    val m = ScalableCumulate.materialize(h)
+    // the input's upstream shuffles moved into the ledger (the groupBy
+    // plans at least one exchange), and a second call is a no-op — the
+    // relation is not copied again and the ledger does not double-count
+    val afterFirst = ScalableCumulate.hiddenShuffles
+    assert(afterFirst >= 1, "ledger missed the hidden aggregate shuffle")
+    assert(ScalableCumulate.materialize(m) eq m)
+    assert(ScalableCumulate.hiddenShuffles == afterFirst)
+    // an unpartitioned-window lineage is refused: checkpointing it would
+    // hide the exact single-task-sort hazard the helper exists to retire
+    val hazard = h.withColumn("cum",
+      sum("cnt").over(Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    intercept[IllegalArgumentException] {
+      ScalableCumulate.materialize(hazard)
+    }
+  }
 }
