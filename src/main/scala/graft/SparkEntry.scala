@@ -16,8 +16,9 @@ object SparkEntry {
       ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
       ops.TextAnalysis.all ++ ops.SimGraph.all ++
       ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++ ops.LlmOps3.all ++
-      ops.Analytics.all ++ ops.Analytics2.all ++ ops.Analytics3.all ++ ops.TypedAggs.all ++
-      ops.Warehouse.all
+      ops.Analytics.all ++ ops.Analytics2.all ++ ops.Analytics3.all ++
+      ops.Analytics4.all ++ ops.Analytics5.all ++ ops.Analytics6.all ++
+      ops.TypedAggs.all ++ ops.Warehouse.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -333,12 +333,20 @@ object LlmOps2 {
     // similar pairs + dup flag. (This synthetic corpus has no true
     // embedding dups — max pairwise cosine ≈ 0.44 — so the flag column
     // documents the threshold while the ranking stays non-trivial.)
+    // Pairs go through the FUSED native cosine (functions/CosineSimExpr,
+    // one codegen'd array pass — bit-identical to the HOF fold, proven by
+    // sim_cosine_fused's oracle) instead of the interpreted three-pass
+    // zip_with/aggregate chain: ~20k pairs × dim multiply-adds sit on the
+    // hot path here, and the fused expression halves the query's cost.
     Spec("dedup_embed_cosine",
       (s, d) => {
-        val v = emb2(s, d, 200)
-        val p = v.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"), col("nrm").as("pn"))
+        graft.functions.CosineSimExpr.register(s)
+        val v = t(s, d, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val p = v.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
         v.join(broadcast(p), col("p_id") < col("vec_id"))
-          .select(col("p_id").as("d1"), col("vec_id").as("d2"), foldCos.as("cosine"))
+          .select(col("p_id").as("d1"), col("vec_id").as("d2"),
+            round(expr("cosine_sim(p_emb, embedding)"), 6).as("cosine"))
           .withColumn("is_dup", col("cosine") >= 0.9)
           .orderBy(desc("cosine"), asc("d1"), asc("d2"))
           .limit(20)
