@@ -480,6 +480,49 @@ object Analytics6 {
                   / count(*), 6) AS winsorized_mean,
                 round(CAST(sum(x.x) AS DOUBLE) / count(*), 6) AS raw_mean
               FROM x, t
-              GROUP BY t.p05, t.p95"""))
+              GROUP BY t.p05, t.p95""")),
+
+    // Exact percentile ladder (p25/p50/p75/p95/p99) — the engine-exact
+    // answer to "approx_percentile, but auditable": all five picks share
+    // ONE bounds job and ONE map-side partials pass in
+    // ScalableCumulate.quantilePicks (cross-multiplied den·cum ≥ num·n
+    // conditions, the lower-value no-interpolation pick convention both
+    // engines state identically), and the final window touches only the
+    // ≤5 crossing buckets. Scale shape: two scans plus a ~5/NB-filtered
+    // scan, O(NB) rows moved — no value histogram, no global sort,
+    // regardless of how many fractions ride along.
+    Spec("agg_exact_percentiles",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = t(s, d, "orders")
+          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
+            lit(1L),
+            Seq((1L, 4L), (1L, 2L), (3L, 4L), (19L, 20L), (99L, 100L)),
+            totalName = "n_rows")
+          .select(col("pick_0").cast("double").as("p25"),
+            col("pick_1").cast("double").as("p50"),
+            col("pick_2").cast("double").as("p75"),
+            col("pick_3").cast("double").as("p95"),
+            col("pick_4").cast("double").as("p99"),
+            col("n_rows"))
+      },
+      Some("""WITH x AS (
+                SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+              c AS (SELECT x, count(*) AS cnt FROM x GROUP BY x),
+              k AS (
+                SELECT x,
+                  CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+                FROM c)
+              SELECT CAST(min(CASE WHEN cum * 4 >= n THEN x END) AS DOUBLE) AS p25,
+                     CAST(min(CASE WHEN cum * 2 >= n THEN x END) AS DOUBLE) AS p50,
+                     CAST(min(CASE WHEN cum * 4 >= n * 3 THEN x END) AS DOUBLE) AS p75,
+                     CAST(min(CASE WHEN cum * 20 >= n * 19 THEN x END) AS DOUBLE) AS p95,
+                     CAST(min(CASE WHEN cum * 100 >= n * 99 THEN x END) AS DOUBLE) AS p99,
+                     CAST(min(n) AS BIGINT) AS n_rows
+              FROM k"""))
   )
 }
