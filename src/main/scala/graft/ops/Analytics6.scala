@@ -523,6 +523,47 @@ object Analytics6 {
                      CAST(min(CASE WHEN cum * 20 >= n * 19 THEN x END) AS DOUBLE) AS p95,
                      CAST(min(CASE WHEN cum * 100 >= n * 99 THEN x END) AS DOUBLE) AS p99,
                      CAST(min(n) AS BIGINT) AS n_rows
-              FROM k"""))
+              FROM k""")),
+
+    // GROUPED exact percentiles — the per-segment companion to
+    // agg_exact_percentiles: p50/p90 of order value per priority, via
+    // quantilePicks' group path (partials at the (group, bucket) grain,
+    // one crossing bucket per group per fraction, per-group totals free).
+    // At 100 TB the moved rows stay NB·|groups| — group count multiplies
+    // the BOUNDED side only, never the scanned side.
+    Spec("agg_grouped_percentiles",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = t(s, d, "orders").select(col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")), lit(1L),
+            Seq((1L, 2L), (9L, 10L)), groupCols = Seq("o_orderpriority"),
+            totalName = "n_orders")
+          .select(col("o_orderpriority"),
+            col("pick_0").cast("double").as("p50"),
+            col("pick_1").cast("double").as("p90"),
+            col("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH x AS (
+                SELECT o_orderpriority,
+                  CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+              c AS (
+                SELECT o_orderpriority, x, count(*) AS cnt
+                FROM x GROUP BY 1, 2),
+              k AS (
+                SELECT o_orderpriority, x,
+                  CAST(sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+                FROM c)
+              SELECT o_orderpriority,
+                CAST(min(CASE WHEN cum * 2 >= n THEN x END) AS DOUBLE) AS p50,
+                CAST(min(CASE WHEN cum * 10 >= n * 9 THEN x END) AS DOUBLE) AS p90,
+                CAST(min(n) AS BIGINT) AS n_orders
+              FROM k GROUP BY o_orderpriority
+              ORDER BY o_orderpriority"""))
   )
 }

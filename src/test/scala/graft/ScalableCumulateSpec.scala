@@ -208,6 +208,41 @@ class ScalableCumulateSpec extends AnyFunSuite {
     assert(r.getLong(0) == 11L && r.getLong(1) == 12L && r.getLong(2) == 1000L)
   }
 
+  test("quantilePicks: randomized differential vs the reference fold") {
+    // 12 seeded trials: random weighted multisets (heavy ties by
+    // construction), random fraction, random bucket count — the pick must
+    // equal the plain-Scala reference (sort, prefix-sum, first value with
+    // den·cum ≥ num·W) every time. Catches crossing-bucket off-by-ones a
+    // fixture can't sweep.
+    import spark.implicits._
+    val rnd = new scala.util.Random(421000)
+    for (trial <- 1 to 12) {
+      val n = 30 + rnd.nextInt(400)
+      val dist = 1 + rnd.nextInt(12) // few distinct values → ties straddle
+      val rows = Seq.fill(n)((rnd.nextInt(dist).toLong * 7,
+        1L + rnd.nextInt(5).toLong))
+      val den = 2L + rnd.nextInt(99)
+      val num = 1L + rnd.nextInt(den.toInt)
+      val nb = 1 + rnd.nextInt(8)
+      val expected = {
+        val sorted = rows.sortBy(_._1)
+        val w = sorted.map(_._2).sum
+        var cum = 0L
+        sorted.find { case (_, wt) => cum += wt; den * cum >= num * w }
+          .map(_._1).get
+      }
+      spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
+      try {
+        val got = ScalableCumulate.quantilePicks(rows.toDF("x", "w"),
+          col("x"), Seq(col("x")), col("w"), Seq((num, den))).head()
+        assert(got.getLong(0) == expected,
+          s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb: " +
+            s"got ${got.getLong(0)}, expected $expected")
+        assert(got.getLong(1) == rows.map(_._2).sum, s"trial $trial total")
+      } finally spark.conf.unset("spark.graft.cumulate.buckets")
+    }
+  }
+
   test("materialize is a checkpoint-once seam with an honest ledger") {
     val h = t(spark, sf, "orders")
       .groupBy(col("o_totalprice").as("x")).agg(count(lit(1)).as("cnt"))
