@@ -312,8 +312,10 @@ object ScalableCumulate {
     val auxRows = mutable.ArrayBuffer.empty[Row]
     for ((gkey, grs) <- byGroup) {
       val sorted = grs.sortBy(_.getInt(ng))
-      val sums = sorted.map(_.get(ng + 1))
       val zeroV = zero(partSchema("__s").dataType)
+      // a bucket whose values are all null sums to null — treat as zero
+      // contribution, matching SQL sum semantics in the prefix fold
+      val sums = sorted.map(r => Option(r.get(ng + 1)).getOrElse(zeroV))
       val offs = sums.scanLeft(zeroV)(plus).init
       val w = sums.foldLeft(zeroV)(plus)
       val crossing: Seq[Int] = fracs.map { case (num, den) =>

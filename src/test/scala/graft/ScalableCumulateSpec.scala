@@ -243,6 +243,26 @@ class ScalableCumulateSpec extends AnyFunSuite {
     }
   }
 
+  test("quantilePicks broadcast aux stays O(NB·fracs) at any corpus size") {
+    // the 100 TB claim in one assertion: the only driver-held / broadcast
+    // relation is the crossing-bucket aux — its row count is bounded by
+    // the fraction count (≤ one crossing bucket per group per fraction),
+    // and must NOT grow with the data (10× corpus, same bound)
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val o = t(spark, d, "orders")
+        .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+      val picks = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
+        lit(1L), Seq((1L, 4L), (1L, 2L), (19L, 20L)))
+      val locals = picks.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.size
+      }
+      assert(locals.nonEmpty, s"$d: no LocalRelation aux found in the plan")
+      assert(locals.forall(_ <= 3),
+        s"$d: aux relation larger than the fraction count: $locals")
+    }
+  }
+
   test("materialize is a checkpoint-once seam with an honest ledger") {
     val h = t(spark, sf, "orders")
       .groupBy(col("o_totalprice").as("x")).agg(count(lit(1)).as("cnt"))
