@@ -15,7 +15,7 @@ object SparkEntry {
       ops.Windows.all ++ ops.SetOps.all ++ ops.Fns.all ++ ops.Fns2.all ++
       ops.Inference.all ++ ops.InferMapPartitions.all ++ ops.LlmOps.all ++
       ops.TextAnalysis.all ++ ops.SimGraph.all ++
-      ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++ ops.LlmOps3.all ++
+      ops.Streaming.all ++ ops.Multimodal.all ++ ops.LlmOps2.all ++ ops.LlmOps3.all ++ ops.LlmOps4.all ++
       ops.Analytics.all ++ ops.Analytics2.all ++ ops.Analytics3.all ++
       ops.Analytics4.all ++ ops.Analytics5.all ++ ops.Analytics6.all ++
       ops.TypedAggs.all ++ ops.Warehouse.all
