@@ -98,23 +98,18 @@ object Analytics2 {
     // differ on interpolation, so neither engine's builtin is used).
     Spec("agg_exact_median",
       (s, d) => {
-        val counts = t(s, d, "orders")
-          .groupBy(col("o_orderpriority"), col("o_totalprice"))
-          .agg(count(lit(1)).as("c"))
-        // the histogram is value-compressed but o_totalprice is
-        // near-unique, so each priority's partition is still unbounded —
-        // cumulate through the bucketed two-pass (16-way per group)
-        val cum = ScalableCumulate.cumSum(counts, col("o_totalprice"),
-          ascending = true, Seq(col("o_totalprice")),
-          Seq(ScalableCumulate.Cum("cum", col("c"))),
-          groupCols = Seq("o_orderpriority"))
-        val tot = t(s, d, "orders").groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"))
-        cum.join(broadcast(tot), "o_orderpriority")
-          .where(col("cum") >= expr("(n + 1) div 2"))
-          .groupBy(col("o_orderpriority"), col("n"))
-          .agg(min(col("o_totalprice")).as("median_price"))
-          .select(col("o_orderpriority"), col("median_price"), col("n"))
+        // o_totalprice is near-unique, so a value histogram compresses
+        // nothing — the per-priority pick runs straight over the raw
+        // rows through quantilePicks (cum ≥ ⌈n/2⌉ ⟺ 2·cum ≥ n for
+        // integer counts), per-group totals free, no window outside the
+        // crossing bucket of each priority
+        ScalableCumulate.quantilePicks(
+            t(s, d, "orders").select("o_orderpriority", "o_totalprice"),
+            col("o_totalprice"), Seq(col("o_totalprice")), lit(1L),
+            Seq((1L, 2L)), groupCols = Seq("o_orderpriority"),
+            totalName = "n")
+          .select(col("o_orderpriority"),
+            col("pick_0").as("median_price"), col("n"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH counts AS (

@@ -17,30 +17,37 @@ object Analytics6 {
     // ABC revenue classification — cumulative-share banding of parts by
     // revenue (A = first 80% of revenue, B = next 15%, C = tail): the
     // inventory-analytics classic. Revenue per part is the exact decimal
-    // msum; the running share comparison is cross-multiplied decimal
-    // (10·cum ≤ 8·total etc. — no division, no float threshold). The
-    // part grain is unbounded, so the running sum and grand total come
-    // from ScalableCumulate's bucketed two-pass (exact decimal offsets,
-    // no single-task window over the part relation). Output at the
-    // class grain.
+    // msum; the share comparisons are cross-multiplied decimal (10·cum ≤
+    // 8·total etc. — no division, no float threshold). Round-10 shape:
+    // the class OUTPUT is only 3 rows, so no per-part cumulation is
+    // needed at all — the two STRICT boundary picks (first part with
+    // 10·cum > 8·W, first with 100·cum > 95·W) plus their inclusive
+    // cum/count metrics reconstruct every class total by pure arithmetic
+    // (A = everything before boundary 1; B = between; C = the rest).
+    // quantilePicks finds both boundaries with one bounds job + one
+    // map-side partials pass over the materialized part-revenue relation
+    // and windows only the crossing buckets — the part grain never
+    // passes through a full window at any scale. Empty classes (possible
+    // under degenerate skew) are filtered, matching the groupBy form.
     Spec("agg_abc_class",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val rev = t(s, d, "lineitem")
+        val rev = ScalableCumulate.materialize(t(s, d, "lineitem")
           .groupBy("l_partkey")
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(30, 4))).as("rev"))
-        ScalableCumulate.cumSum(rev, col("rev"), ascending = false,
-            Seq(desc("rev"), asc("l_partkey")),
-            Seq(ScalableCumulate.Cum("cum", col("rev"))),
-            totals = Map("cum" -> "tot"))
-          .withColumn("cls",
-            when(col("cum") * 10 <= col("tot") * 8, "A")
-              .when(col("cum") * 100 <= col("tot") * 95, "B")
-              .otherwise("C"))
-          .groupBy("cls")
-          .agg(count(lit(1)).as("n_parts"),
-            round(sum("rev"), 2).cast("double").as("class_revenue"))
+            .cast(DecimalType(30, 4))).as("rev")))
+        ScalableCumulate.quantilePicks(rev, col("rev"),
+            Seq(desc("rev"), asc("l_partkey")), col("rev"),
+            Seq((8L, 10L), (95L, 100L)), ascending = false, strict = true,
+            metrics = Seq("cnt" -> lit(1L)), totalName = "w")
+          .select(expr("""stack(3,
+              'A', cnt_0 - 1, cum_0 - pick_0,
+              'B', cnt_1 - cnt_0, (cum_1 - pick_1) - (cum_0 - pick_0),
+              'C', cnt_total - (cnt_1 - 1), w - (cum_1 - pick_1)
+            ) AS (cls, n_parts, class_rev)"""))
+          .where(col("n_parts") > 0)
+          .select(col("cls"), col("n_parts"),
+            round(col("class_rev"), 2).cast("double").as("class_revenue"))
           .orderBy("cls")
       },
       Some("""WITH rev AS (

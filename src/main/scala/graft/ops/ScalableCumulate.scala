@@ -235,22 +235,36 @@ object ScalableCumulate {
     *    decimal comparisons end-to-end; the approx bounds only decide
     *    bucket SIZES, never the result.
     *
-    * Ties in `primary` may straddle buckets here (unlike [[cumSum]]):
-    * harmless, because the pick is the first value at which ANY row
-    * qualifies — the min over qualifying rows lands on the histogram
-    * pick value regardless of how its tie-rows were split or ordered.
+    * Ties in `primary` always share a bucket (the bucket id is a pure
+    * function of the value), and the pick is the first value at which
+    * ANY row qualifies — so the result equals the histogram pick
+    * regardless of how tie rows are ordered within the bucket window.
     *
     * At 100 TB: two full scans + one 1/NB-filtered scan (the bucket
     * range-filter on `primary` is min/max-prunable at the parquet
     * row-group level), with only O(NB·|groups|) rows ever moved —
     * strictly cheaper than materializing a near-unique value histogram.
     *
-    * `fracs` are (num, den) with 0 < num ≤ den; `value` must be non-null
-    * with an exact partial type (long / int / decimal). Returns one row
-    * per group: groupCols ++ pick_0..pick_{k-1} (typed as `primary`) ++
-    * `totalName` (the group's exact grand total). The eager bounds and
-    * partials jobs register their shuffles in the hidden ledger, so the
-    * pinned budgets stay honest.
+    * `fracs` are (num, den) with 0 < num ≤ den; the crossing condition
+    * is den·cum ≥ num·total, or strictly `>` with `strict = true` (the
+    * boundary convention of cumulative-share banding: "first row OVER
+    * the 80% line"). `value` must be non-null AND non-negative with an
+    * exact partial type (long / int / decimal) — the bucket-level
+    * crossing search needs a monotone cumulative. `ascending = false`
+    * orders buckets by descending `primary` (pass matching `orderCols`).
+    *
+    * `metrics` are extra (name → column) sums reported AT the pick row
+    * (inclusive): the returned row carries, per frac `i`, `pick_i` (the
+    * `primary` value), `cum_i` (the inclusive `value` cumulative), and
+    * `<name>_i` per metric, plus `<name>_total` grand totals and
+    * `totalName`. The pick row is identified by an internal row-number
+    * cumulation, so zero-`value` runs cannot smear the selection; when
+    * metrics are requested, `orderCols` must be a TOTAL order (else the
+    * metric cums at a tied boundary are order-dependent).
+    *
+    * Returns one row per group. The eager bounds and partials jobs
+    * register their shuffles in the hidden ledger, so the pinned budgets
+    * stay honest.
     */
   def quantilePicks(
       df: DataFrame,
@@ -259,7 +273,10 @@ object ScalableCumulate {
       value: Column,
       fracs: Seq[(Long, Long)],
       groupCols: Seq[String] = Nil,
-      totalName: String = "total"): DataFrame = {
+      totalName: String = "total",
+      ascending: Boolean = true,
+      strict: Boolean = false,
+      metrics: Seq[(String, Column)] = Nil): DataFrame = {
     require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
       s"fracs must satisfy 0 < num <= den, got $fracs")
     val spark = df.sparkSession
@@ -279,25 +296,30 @@ object ScalableCumulate {
       if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
       else boundsRow.getSeq[Double](0)
     val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(lit(b) < pd, 1).otherwise(0)
+      if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
+      else acc + when(pd < lit(b), 1).otherwise(0)
     }
 
-    // Job 2: per-(group, bucket) partials → driver prefix + crossing
-    // bucket per (group, frac), all in exact arithmetic.
+    // Job 2: per-(group, bucket) partials (value + row count + metrics) →
+    // driver prefix + crossing bucket per (group, frac), exact arithmetic.
     val withB = df.withColumn("__bkt", bkt)
     val keyCols = groupCols.map(col) :+ col("__bkt")
-    val part = withB.groupBy(keyCols: _*).agg(sum(value).as("__s"))
+    val mNames = metrics.map(_._1)
+    val partAggs = sum(value).as("__s") +: count(lit(1)).as("__n") +:
+      metrics.map { case (n, c) => sum(c).as(s"__sm_$n") }
+    val part = withB.groupBy(keyCols: _*).agg(partAggs.head, partAggs.tail: _*)
     val partSchema = part.schema
     val ng = groupCols.size
     zero(partSchema("__s").dataType) // reject non-exact partial types
+    mNames.foreach(n => zero(partSchema(s"__sm_$n").dataType))
     val byGroup: Map[Seq[Any], Array[Row]] =
       audited(part).collect().groupBy(r => (0 until ng).map(r.get).toSeq)
 
-    def geq(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: java.lang.Long, y: java.lang.Long) => x >= y
-      case (x: Integer, y: Integer)               => x >= y
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+      case (x: Integer, y: Integer)               => x.compareTo(y)
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
-        x.compareTo(y) >= 0
+        x.compareTo(y)
       case _ => throw new IllegalStateException("mismatched partials")
     }
     def times(a: Any, k: Long): Any = a match {
@@ -307,54 +329,88 @@ object ScalableCumulate {
         x.multiply(java.math.BigDecimal.valueOf(k))
       case _ => throw new IllegalStateException("non-exact partial")
     }
+    // crossing: >= target, or strictly > when `strict`
+    def crosses(cum: Any, target: Any): Boolean =
+      if (strict) cmp(cum, target) > 0 else cmp(cum, target) >= 0
 
-    // aux rows: (group..., bkt, off, W, need_0..need_{k-1})
+    // aux rows: (group..., bkt, off, rnoff, moffs..., W, mtots...,
+    //            need_0..need_{k-1})
+    val sDt = partSchema("__s").dataType
+    val mDts = mNames.map(n => partSchema(s"__sm_$n").dataType)
     val auxRows = mutable.ArrayBuffer.empty[Row]
     for ((gkey, grs) <- byGroup) {
       val sorted = grs.sortBy(_.getInt(ng))
-      val zeroV = zero(partSchema("__s").dataType)
+      val zeroV = zero(sDt)
       // a bucket whose values are all null sums to null — treat as zero
       // contribution, matching SQL sum semantics in the prefix fold
-      val sums = sorted.map(r => Option(r.get(ng + 1)).getOrElse(zeroV))
-      val offs = sums.scanLeft(zeroV)(plus).init
-      val w = sums.foldLeft(zeroV)(plus)
+      def series(colIdx: Int, z: Any) = {
+        val s = sorted.map(r => Option(r.get(colIdx)).getOrElse(z))
+        (s, s.scanLeft(z)(plus).init, s.foldLeft(z)(plus))
+      }
+      val (sums, offs, w) = series(ng + 1, zeroV)
+      val (_, rnOffs, _) = series(ng + 2, java.lang.Long.valueOf(0L))
+      val mSeries = mNames.indices.map(m =>
+        series(ng + 3 + m, zero(mDts(m))))
       val crossing: Seq[Int] = fracs.map { case (num, den) =>
         val target = times(w, num)
         val idx = sorted.indices.find(i =>
-          geq(times(plus(offs(i), sums(i)), den), target))
+          crosses(times(plus(offs(i), sums(i)), den), target))
         idx.getOrElse(sorted.length - 1)
       }
       for (i <- sorted.indices if crossing.contains(i))
-        auxRows += Row.fromSeq(gkey ++ Seq(sorted(i).getInt(ng), offs(i), w) ++
+        auxRows += Row.fromSeq(gkey ++
+          Seq(sorted(i).getInt(ng), offs(i), rnOffs(i)) ++
+          mSeries.map(_._2(i)) ++ Seq(w) ++ mSeries.map(_._3) ++
           fracs.indices.map(f => crossing(f) == i))
     }
-    val sDt = partSchema("__s").dataType
     val auxSchema = StructType(
       groupCols.map(g => partSchema(g)) ++
         Seq(StructField("__bkt", IntegerType, nullable = false),
-          StructField("__off", sDt), StructField("__W", sDt)) ++
+          StructField("__off", sDt),
+          StructField("__rnoff", LongType, nullable = false)) ++
+        mNames.zip(mDts).map { case (n, dt) => StructField(s"__moff_$n", dt) } ++
+        Seq(StructField("__W", sDt)) ++
+        mNames.zip(mDts).map { case (n, dt) => StructField(s"${n}_total", dt) } ++
         fracs.indices.map(f =>
           StructField(s"__need_$f", BooleanType, nullable = false)))
     val auxDf = spark.createDataFrame(
       java.util.Arrays.asList(auxRows.toSeq: _*), auxSchema)
 
-    // Job 3 (returned): crossing-bucket-only window + conditional mins.
+    // Job 3 (returned): crossing-bucket-only window; the first qualifying
+    // row per frac is selected as the MIN of a struct led by the strictly
+    // increasing row-number cumulation (unique → deterministic even
+    // through zero-`value` runs), carrying the pick value and every
+    // requested cumulative along in one aggregate.
     val w = Window
       .partitionBy((groupCols :+ "__bkt").map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = withB.join(broadcast(auxDf), groupCols :+ "__bkt")
       .withColumn("__cum", sum(value).over(w) + col("__off"))
-    val pickAggs = fracs.zipWithIndex.map { case ((num, den), f) =>
-      min(when(col(s"__need_$f") &&
-          col("__cum") * lit(den) >= col("__W") * lit(num), primary))
-        .as(s"pick_$f")
+      .withColumn("__rn", sum(lit(1L)).over(w) + col("__rnoff"))
+    val withM = metrics.foldLeft(joined) { case (d, (n, c)) =>
+      d.withColumn(s"__mc_$n", sum(c).over(w) + col(s"__moff_$n"))
     }
-    joined.groupBy((groupCols :+ "__W").map(col): _*)
+    val selStruct = struct(
+      (col("__rn").as("r") +: primary.as("p") +: col("__cum").as("c") +:
+        mNames.map(n => col(s"__mc_$n").as(n))): _*)
+    val pickAggs = fracs.zipWithIndex.map { case ((num, den), f) =>
+      val cond =
+        if (strict) col("__cum") * lit(den) > col("__W") * lit(num)
+        else col("__cum") * lit(den) >= col("__W") * lit(num)
+      min(when(col(s"__need_$f") && cond, selStruct)).as(s"__sel_$f")
+    }
+    val grouped = withM
+      .groupBy(((groupCols :+ "__W") ++ mNames.map(n => s"${n}_total"))
+        .map(col): _*)
       .agg(pickAggs.head, pickAggs.tail: _*)
-      .select((groupCols.map(col) ++
-        fracs.indices.map(f => col(s"pick_$f")) :+
-        col("__W").as(totalName)): _*)
+    grouped.select((groupCols.map(col) ++
+      fracs.indices.flatMap(f =>
+        col(s"__sel_$f.p").as(s"pick_$f") +:
+          col(s"__sel_$f.c").as(s"cum_$f") +:
+          mNames.map(n => col(s"__sel_$f.$n").as(s"${n}_$f"))) ++
+      mNames.map(n => col(s"${n}_total")) :+
+      col("__W").as(totalName)): _*)
   }
 
   private def core(
@@ -381,8 +437,11 @@ object ScalableCumulate {
     // nbv == 1 degenerates to a single bucket (no bounds needed); feed the
     // aggregate a placeholder percentile so the NaN check still runs.
     val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
+    // accuracy 1000: bounds only shape bucket SIZES (results depend solely
+    // on value order — ScalableCumulateSpec pins bit-identity across
+    // bucket layouts), so the cheaper sketch is free
     val boundsRow = in.agg(
-      percentile_approx(pd, array(qsSafe.map(lit): _*), lit(10000)).as("b"),
+      percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
       count(when(pd.isNull || isnan(pd), 1)).as("bad")).head()
     require(boundsRow.getLong(1) == 0L,
       s"ScalableCumulate: ${boundsRow.getLong(1)} NaN/null primary order " +

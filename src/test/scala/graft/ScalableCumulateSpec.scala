@@ -201,9 +201,9 @@ class ScalableCumulateSpec extends AnyFunSuite {
     // still be the histogram pick (first value where ANY row qualifies)
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 4) + 10L).toDF("x")
-    val fast = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
-      lit(1L), Seq((1L, 2L), (3L, 4L)))
-    val r = fast.head()
+    val r = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
+        lit(1L), Seq((1L, 2L), (3L, 4L)))
+      .select("pick_0", "pick_1", "total").head()
     // 250×{10,11,12,13}: cum(11)=500 ≥ 500 → median 11; cum(12)=750 → p75 12
     assert(r.getLong(0) == 11L && r.getLong(1) == 12L && r.getLong(2) == 1000L)
   }
@@ -234,13 +234,34 @@ class ScalableCumulateSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
       try {
         val got = ScalableCumulate.quantilePicks(rows.toDF("x", "w"),
-          col("x"), Seq(col("x")), col("w"), Seq((num, den))).head()
+          col("x"), Seq(col("x")), col("w"), Seq((num, den)))
+          .select("pick_0", "total").head()
         assert(got.getLong(0) == expected,
           s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb: " +
             s"got ${got.getLong(0)}, expected $expected")
         assert(got.getLong(1) == rows.map(_._2).sum, s"trial $trial total")
       } finally spark.conf.unset("spark.graft.cumulate.buckets")
     }
+  }
+
+  test("quantilePicks: descending + strict + metric cums (ABC boundaries)") {
+    // revenues 50,30,10,5,5,0 (desc), W=100. Strict 8/10 crossing: first
+    // cum·10 > 800 is cum=90 at value 10 (3rd row); strict 95/100: first
+    // cum·100 > 9500 is cum=100 at value 5 (5th row). The cnt metric at
+    // each boundary reconstructs ABC class stats by pure arithmetic.
+    import spark.implicits._
+    val df = Seq(50L, 30L, 10L, 5L, 5L, 0L).toDF("rev")
+    val r = ScalableCumulate.quantilePicks(df, col("rev"),
+        Seq(desc("rev")), col("rev"), Seq((8L, 10L), (95L, 100L)),
+        ascending = false, strict = true,
+        metrics = Seq("cnt" -> lit(1L)), totalName = "w")
+      .select("pick_0", "cum_0", "cnt_0", "pick_1", "cum_1", "cnt_1",
+        "cnt_total", "w").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 90L && r.getLong(2) == 3L,
+      s"first boundary: $r")
+    assert(r.getLong(3) == 5L && r.getLong(4) == 100L && r.getLong(5) == 5L,
+      s"second boundary: $r")
+    assert(r.getLong(6) == 6L && r.getLong(7) == 100L, s"totals: $r")
   }
 
   test("quantilePicks broadcast aux stays O(NB·fracs) at any corpus size") {
