@@ -502,7 +502,14 @@ object Analytics4 {
     // stays the natural per-row form. Identical SQL runs on both engines.
     // Tie-safety: duplicate (orderkey, linenumber) rows can tie at the
     // LIMIT boundary, but tied rows are value-identical, so either choice
-    // hashes the same.
+    // hashes the same. The outer `p_partkey < 50` is restated on
+    // l_partkey INSIDE the lateral (implied by the correlation, so
+    // semantics are unchanged): Catalyst's constraint inference lands the
+    // derived filter ABOVE the decorrelated window, after the partial
+    // WindowGroupLimit has already ranked the FULL fact table — stating
+    // it inside reaches the parquet scan (PushedFilters), which is the
+    // difference between ranking 50 parts' rows and ranking every row at
+    // 100 TB.
     Spec("join_lateral_topk",
       (s, d) => {
         Tables.registerAll(s, d)
@@ -510,7 +517,7 @@ object Analytics4 {
                  FROM part p,
                  LATERAL (SELECT l_orderkey, l_linenumber, l_extendedprice
                           FROM lineitem
-                          WHERE l_partkey = p.p_partkey
+                          WHERE l_partkey = p.p_partkey AND l_partkey < 50
                           ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 2) l
                  WHERE p.p_partkey < 50
                  ORDER BY p.p_partkey, l.l_extendedprice, l.l_orderkey, l.l_linenumber""")
