@@ -209,37 +209,58 @@ class ScalableCumulateSpec extends AnyFunSuite {
   }
 
   test("quantilePicks: randomized differential vs the reference fold") {
-    // 12 seeded trials: random weighted multisets (heavy ties by
-    // construction), random fraction, random bucket count — the pick must
-    // equal the plain-Scala reference (sort, prefix-sum, first value with
-    // den·cum ≥ num·W) every time. Catches crossing-bucket off-by-ones a
-    // fixture can't sweep.
+    // 16 seeded trials: random weighted multisets (heavy ties by
+    // construction), random fraction, random bucket count, random
+    // direction / strictness / grouping — the pick must equal the
+    // plain-Scala reference (per group: sort, prefix-sum, first value
+    // with den·cum ≥ num·W, or > when strict) every time. Catches
+    // crossing-bucket off-by-ones a fixture can't sweep, across every
+    // variant axis of the API.
     import spark.implicits._
     val rnd = new scala.util.Random(421000)
-    for (trial <- 1 to 12) {
+    for (trial <- 1 to 16) {
       val n = 30 + rnd.nextInt(400)
-      val dist = 1 + rnd.nextInt(12) // few distinct values → ties straddle
-      val rows = Seq.fill(n)((rnd.nextInt(dist).toLong * 7,
-        1L + rnd.nextInt(5).toLong))
+      val dist = 1 + rnd.nextInt(12) // few distinct values → heavy ties
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows = Seq.fill(n)((("g" + rnd.nextInt(nGroups)),
+        rnd.nextInt(dist).toLong * 7, 1L + rnd.nextInt(5).toLong))
       val den = 2L + rnd.nextInt(99)
       val num = 1L + rnd.nextInt(den.toInt)
       val nb = 1 + rnd.nextInt(8)
-      val expected = {
-        val sorted = rows.sortBy(_._1)
-        val w = sorted.map(_._2).sum
+      val asc = rnd.nextBoolean()
+      val strict = rnd.nextBoolean()
+      val grouped = rnd.nextBoolean()
+      def ref(rs: Seq[(String, Long, Long)]): Long = {
+        val sorted = if (asc) rs.sortBy(_._2) else rs.sortBy(-_._2)
+        val w = sorted.map(_._3).sum
         var cum = 0L
-        sorted.find { case (_, wt) => cum += wt; den * cum >= num * w }
-          .map(_._1).get
+        sorted.find { case (_, _, wt) =>
+          cum += wt
+          if (strict) den * cum > num * w else den * cum >= num * w
+        }.map(_._2).getOrElse(sorted.last._2)
       }
+      val expected: Map[String, Long] =
+        if (grouped) rows.groupBy(_._1).map { case (g, rs) => g -> ref(rs) }
+        else Map("" -> ref(rows))
       spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
       try {
-        val got = ScalableCumulate.quantilePicks(rows.toDF("x", "w"),
-          col("x"), Seq(col("x")), col("w"), Seq((num, den)))
-          .select("pick_0", "total").head()
-        assert(got.getLong(0) == expected,
-          s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb: " +
-            s"got ${got.getLong(0)}, expected $expected")
-        assert(got.getLong(1) == rows.map(_._2).sum, s"trial $trial total")
+        val ord = if (asc) col("x").asc else col("x").desc
+        val picks = ScalableCumulate.quantilePicks(rows.toDF("g", "x", "w"),
+          col("x"), Seq(ord), col("w"), Seq((num, den)),
+          groupCols = if (grouped) Seq("g") else Nil,
+          ascending = asc, strict = strict)
+        val label = s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb " +
+          s"asc=$asc strict=$strict grouped=$grouped"
+        if (grouped) {
+          val got = picks.select("g", "pick_0").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"$label: got $got, expected $expected")
+        } else {
+          val got = picks.select("pick_0", "total").head()
+          assert(got.getLong(0) == expected(""),
+            s"$label: got ${got.getLong(0)}, expected ${expected("")}")
+          assert(got.getLong(1) == rows.map(_._3).sum, s"$label total")
+        }
       } finally spark.conf.unset("spark.graft.cumulate.buckets")
     }
   }
