@@ -35,7 +35,11 @@ object MultiJvmSmoke {
     "join_inner_broadcast", "join_inner_shuffle", "join_asof_native",
     "agg_exact_median", "agg_mad", "agg_grouped_percentiles",
     "win_rank_scalable", "evt_rfm", "text_zipf",
-    "dedup_exact", "fn_udf_scala", "infer_mapp_argmax", "sim_dot_native")
+    "dedup_exact", "fn_udf_scala", "infer_mapp_argmax", "sim_dot_native",
+    // MLlib MinHashLSH fit/transform across executors, the REAL
+    // javax.imageio decode running inside executor processes, and a
+    // watermark-windowed streaming batch twin
+    "dedup_minhash_lsh", "mm_decode_real", "agg_window_tumbling_batch")
 
   private def run(master: String, extra: Map[String, String],
       sfDir: String): Map[String, Seq[String]] = {
