@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions.col
   * the same invariant the 32-vs-4-thread determinism gate pins, extended
   * across JVM boundaries.
   *
+  * Round 11 (r10 verdict #2) widens the slice from 16 to 30 queries +
+  * 2 connector drills, covering every process-boundary family:
+  * transformWithState/RocksDB state + timers living on executors,
+  * serialized TypedImperativeAggregate buffers (KLL, Misra-Gries, the
+  * typed weighted agg) crossing the exchange, the RangeBin/OverlapBin
+  * optimizer-rule plans, iterative checkpoint cadence (PageRank, the
+  * recursive CTE), ScalableCumulate consumers (evt_gini's cumSum, the
+  * quantilePicks family), plus a MemSink STREAMING write (epoch commit
+  * messages from real executor tasks) and a MemCatalog SQL DDL/DML
+  * round-trip (rows travelling through InputPartitions/commit messages
+  * across the process boundary).
+  *
   * Run: `bash tools/multijvm.sh` (or
   * `sbt "runMain graft.MultiJvmSmoke /root/testdata/sf0.001"`).
   * Executors get the sbt JVM's classpath via
@@ -29,7 +41,9 @@ object MultiJvmSmoke {
     * and two-pass cumulation machinery (driver collects + executor-side
     * localCheckpoint), a Scala UDF closure, mapPartitions inference with
     * a broadcast model, a codegen'd custom Expression, the native as-of
-    * SparkPlan, and an exact-dedup groupBy.
+    * SparkPlan, exact dedup, MLlib LSH, real image decode, streaming
+    * batch twins — and the round-11 process-boundary families listed in
+    * the object scaladoc.
     */
   private val names = Seq(
     "join_inner_broadcast", "join_inner_shuffle", "join_asof_native",
@@ -39,7 +53,25 @@ object MultiJvmSmoke {
     // MLlib MinHashLSH fit/transform across executors, the REAL
     // javax.imageio decode running inside executor processes, and a
     // watermark-windowed streaming batch twin
-    "dedup_minhash_lsh", "mm_decode_real", "agg_window_tumbling_batch")
+    "dedup_minhash_lsh", "mm_decode_real", "agg_window_tumbling_batch",
+    // round-11 additions — every family with process-boundary machinery:
+    // RocksDB transformWithState state + event-time timers on executors
+    "stream_stateful_tws", "stream_session_timers", "stream_liststate_lastn",
+    // RangeBin / OverlapBin optimizer-rule plans (GraftExtensions rules
+    // must rewrite identically when the exchange is a real netty transfer)
+    "join_range_auto", "join_overlap_auto",
+    // TypedImperativeAggregate buffers serialized across the exchange —
+    // exactly what a single JVM never exercises
+    "agg_kll_quantiles", "agg_heavy_hitters", "agg_typed_weighted",
+    // ScalableCumulate.cumSum consumer (driver prefix offsets broadcast
+    // back over executor-side checkpoint blocks)
+    "evt_gini",
+    // iterative checkpoint cadence: 10 PageRank rounds / recursive CTE
+    // steps, each a separate job over executor-held blocks
+    "graph_pagerank", "sql_recursive_cte",
+    // windowed per-shard cumsum packing, IVF cluster pruning, the
+    // rowNumber-based exact AUC
+    "pack_sequences", "sim_ivf", "eval_auc")
 
   private def run(master: String, extra: Map[String, String],
       sfDir: String): Map[String, Seq[String]] = {
@@ -48,18 +80,67 @@ object MultiJvmSmoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.mjcat", "graft.sources.MemCatalog")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     try {
       s.sparkContext.setLogLevel("ERROR")
-      names.map { n =>
+      val queries = names.map { n =>
         val df = SparkEntry.queries(n)(s, sfDir)
         val cols = df.columns.sorted.map(col)
         n -> df.select(cols.toIndexedSeq: _*).collect()
           .map(_.toString).sorted.toSeq
       }.toMap
+      queries ++ Map(
+        "xtra_memsink_stream" -> memSinkStream(s, sfDir),
+        "xtra_memcatalog_ddl" -> memCatalogDdl(s, sfDir))
     } finally s.stop()
+  }
+
+  /** MemSink STREAMING write drill: an AvailableNow drain of a file
+    * source through the V2 streaming write path — DataWriter tasks run in
+    * the executor processes and route rows back through serialized
+    * WriterCommitMessages + the driver's epoch ledger. Returns the
+    * committed driver-side rows, sorted.
+    */
+  private def memSinkStream(s: SparkSession, sfDir: String): Seq[String] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = s"mj_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")}"
+    graft.sources.MemSink.clear(tbl)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mjsink_")
+    val q = s.readStream
+      .schema("r_regionkey LONG, r_name STRING, r_comment STRING")
+      .parquet(s"$sfDir/region.parquet")
+      .selectExpr("r_regionkey", "upper(r_name) AS r_name")
+      .writeStream.format("graft.sources.MemSink")
+      .option("name", tbl)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = graft.sources.MemSink.rows(tbl).map(_.mkString("|")).sorted
+    graft.sources.MemSink.clear(tbl)
+    rows
+  }
+
+  /** MemCatalog DDL/DML drill: CREATE TABLE via SQL against the V2
+    * catalog, INSERT from a parquet scan (write tasks in executors →
+    * commit messages), SELECT back through InputPartitions (rows
+    * serialized to executors), DROP. Returns the selected rows, sorted.
+    */
+  private def memCatalogDdl(s: SparkSession, sfDir: String): Seq[String] = {
+    val t = "mjcat.ns.mj_ddl"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (n_nationkey BIGINT, n_name STRING) USING mem")
+    s.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("n_nationkey", "n_name")
+      .createOrReplaceTempView("mj_nation_src")
+    s.sql(s"INSERT INTO $t SELECT n_nationkey, n_name FROM mj_nation_src")
+    val rows = s.sql(s"SELECT n_nationkey, lower(n_name) AS n FROM $t")
+      .collect().map(_.toString).sorted.toSeq
+    s.sql(s"DROP TABLE $t")
+    rows
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,13 +150,14 @@ object MultiJvmSmoke {
       Map("spark.executor.extraClassPath" -> cp), sfDir)
     val single = run("local[4]", Map.empty, sfDir)
     var failed = 0
-    for (n <- names) {
+    for (n <- names ++ Seq("xtra_memsink_stream", "xtra_memcatalog_ddl")) {
       val ok = multi(n) == single(n) && multi(n).nonEmpty
       if (!ok) failed += 1
       println(s"[multijvm] ${if (ok) "ok  " else "FAIL"} $n " +
         s"(${multi(n).size} rows multi, ${single(n).size} single)")
     }
-    println(s"[multijvm] == ${names.size - failed} ok, $failed fail ==")
+    val totalChecks = names.size + 2
+    println(s"[multijvm] == ${totalChecks - failed} ok, $failed fail ==")
     if (failed > 0) sys.exit(1)
   }
 }

@@ -44,6 +44,7 @@ object PlanAudit {
       val plan = sp.fn(spark, sfDir).queryExecution.executedPlan.toString
       println(s"${sp.name}\t${shuffleCount(plan) + ops.ScalableCumulate.hiddenShuffles}")
     }
+    ops.ScalableCumulate.endAudit()
     spark.stop()
   }
 }

@@ -84,8 +84,57 @@ object ScalableCumulate {
   private val hiddenLedger = new ThreadLocal[Int] {
     override def initialValue(): Int = 0
   }
-  def resetHiddenShuffles(): Unit = hiddenLedger.set(0)
-  def hiddenShuffles: Int = hiddenLedger.get
+
+  /** Thread that currently owns an open audit window (null = no audit
+    * active). The ledger is thread-local, so an audited plan built on a
+    * DIFFERENT thread than the `resetHiddenShuffles()` caller would
+    * silently under-count the budget (round-10 advice): this global
+    * canary turns that into a loud failure — [[record]] throws when a
+    * write lands off the auditor's thread while a window is open, and
+    * [[hiddenShuffles]] refuses to be read off the auditor's thread.
+    * `sbt test` runs suites sequentially in one forked JVM, so a
+    * cross-thread write during a window is genuinely anomalous, never a
+    * legitimate concurrent build; auditors close their window with
+    * [[endAudit]] (PlanGuardSpec does it in afterAll) so unaudited
+    * construction elsewhere is never policed.
+    */
+  private val auditor =
+    new java.util.concurrent.atomic.AtomicReference[Thread](null)
+
+  def resetHiddenShuffles(): Unit = {
+    hiddenLedger.set(0)
+    auditor.set(Thread.currentThread())
+  }
+
+  /** Close the audit window opened by [[resetHiddenShuffles]]. */
+  def endAudit(): Unit = auditor.set(null)
+
+  def hiddenShuffles: Int = {
+    val a = auditor.get
+    require(a eq Thread.currentThread(),
+      "ScalableCumulate.hiddenShuffles read on a thread that did not call " +
+        "resetHiddenShuffles — the thread-local ledger would silently " +
+        "under-count; reset, build the plan, and read on ONE thread")
+    hiddenLedger.get
+  }
+
+  /** Single write seam for the ledger: adds `n` to this thread's count
+    * and fails loudly if an audit window is open on a different thread
+    * (that write belongs to the audited plan but would land in a ledger
+    * the auditor never reads).
+    */
+  private def record(n: Int): Unit = {
+    val a = auditor.get
+    if ((a ne null) && (a ne Thread.currentThread()))
+      throw new IllegalStateException(
+        s"ScalableCumulate ledger write on thread " +
+          s"'${Thread.currentThread().getName}' while an audit window is " +
+          s"open on thread '${a.getName}' — the audited plan was built on " +
+          "a different thread than resetHiddenShuffles, so the pinned " +
+          "shuffle budget would under-count; build the plan on the " +
+          "auditing thread")
+    hiddenLedger.set(hiddenLedger.get + n)
+  }
 
   /** Record `df`'s plan's shuffle exchanges in the hidden ledger and
     * return it unchanged — for an EAGER helper job whose plan never
@@ -93,8 +142,7 @@ object ScalableCumulate {
     * a driver-collected pick), so the pinned budget still charges it.
     */
   def audited(df: DataFrame): DataFrame = {
-    hiddenLedger.set(hiddenLedger.get +
-      graft.PlanAudit.shuffleCount(df.queryExecution.executedPlan.toString))
+    record(graft.PlanAudit.shuffleCount(df.queryExecution.executedPlan.toString))
     df
   }
 
@@ -121,8 +169,7 @@ object ScalableCumulate {
             "unpartitioned Window — checkpointing would hide a " +
             "single-task global sort from the plan guard; route that " +
             "cumulation through ScalableCumulate instead")
-        hiddenLedger.set(hiddenLedger.get +
-          graft.PlanAudit.shuffleCount(qe.executedPlan.toString))
+        record(graft.PlanAudit.shuffleCount(qe.executedPlan.toString))
         df.localCheckpoint()
     }
 
@@ -130,6 +177,33 @@ object ScalableCumulate {
     * `value` over the global order (within the group, if grouped).
     */
   final case class Cum(name: String, value: Column)
+
+  /** True when re-executing `df`'s plan is as cheap as re-reading its
+    * source: only projections and filters over a leaf relation (file scan,
+    * LogicalRDD, LocalRelation) — the shapes where predicate/column
+    * pushdown makes each re-scan touch only the needed bytes. Anything
+    * else (join, aggregate, window, generate, union…) does real work per
+    * execution and must be materialized before a multi-action consumer.
+    */
+  /** Inner join of `left` with the BROADCAST `right` on `keys`, null-safe
+    * (`<=>`) so NULL keys match like the using-columns form never would,
+    * keeping left's copy of each key column. Right is always one of the
+    * tiny driver-built aux/offset relations, so the broadcast hash join
+    * survives the null-safe predicate unchanged.
+    */
+  private def nullSafeJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => left(k) <=> right(k)).reduce(_ && _)
+    keys.foldLeft(left.join(broadcast(right), cond))((d, k) => d.drop(right(k)))
+  }
+
+  private def cheapRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+  }
 
   private def zero(dt: DataType): Any = dt match {
     case LongType       => java.lang.Long.valueOf(0L)
@@ -279,15 +353,33 @@ object ScalableCumulate {
       metrics: Seq[(String, Column)] = Nil): DataFrame = {
     require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
       s"fracs must satisfy 0 < num <= den, got $fracs")
+    // strict + num == den is vacuous ("first row strictly over 100% of the
+    // total" — no row ever crosses since cum ≤ W): the driver search would
+    // fall back to the last bucket while Job 3's aggregate returns NULL
+    // picks, two different answers for one input (round-10 advice #1).
+    // Reject it loudly instead of picking one arbitrarily.
+    require(!strict || fracs.forall { case (n, d) => n < d },
+      s"strict=true requires num < den (num == den can never cross " +
+        s"strictly — cum <= total); got $fracs")
     val spark = df.sparkSession
-    val pd = primary.cast(DoubleType)
     val nbv = buckets(spark)
+
+    // Derived-input guard (round-10 verdict): the three jobs below (bounds,
+    // partials, the returned plan) each re-execute the input's lineage.
+    // A bare scan — optionally column-pruned / filtered — is cheap to
+    // re-read (pushdown reaches the files all three times); anything with
+    // a join/aggregate/window upstream would silently run that work three
+    // times per execution (the exact r9 bench-regression class), so it is
+    // checkpointed once here. No-op for the existing call sites (bare
+    // projections or already-materialized inputs).
+    val in = if (cheapRescan(df)) df else materialize(df)
+    val pd = primary.cast(DoubleType)
 
     // Job 1: bounds + NaN/null guard (accuracy 1000: bounds only shape
     // bucket sizes, so a cheaper sketch costs nothing in exactness).
     val qs = (1 until nbv).map(i => i.toDouble / nbv)
     val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
-    val boundsRow = audited(df.agg(
+    val boundsRow = audited(in.agg(
       percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
       count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head()
     require(boundsRow.getLong(1) == 0L,
@@ -302,7 +394,7 @@ object ScalableCumulate {
 
     // Job 2: per-(group, bucket) partials (value + row count + metrics) →
     // driver prefix + crossing bucket per (group, frac), exact arithmetic.
-    val withB = df.withColumn("__bkt", bkt)
+    val withB = in.withColumn("__bkt", bkt)
     val keyCols = groupCols.map(col) :+ col("__bkt")
     val mNames = metrics.map(_._1)
     val partAggs = sum(value).as("__s") +: count(lit(1)).as("__n") +:
@@ -332,6 +424,35 @@ object ScalableCumulate {
     // crossing: >= target, or strictly > when `strict`
     def crosses(cum: Any, target: Any): Boolean =
       if (strict) cmp(cum, target) > 0 else cmp(cum, target) >= 0
+    // Magnitude guard (round-10 advice #2): Job 3 re-evaluates den·cum and
+    // num·W on EXECUTORS in unchecked arithmetic — non-ANSI Long multiply
+    // wraps silently and decimal(38,s)·long overflows to NULL — while the
+    // driver side uses multiplyExact/BigDecimal. Worse, the driver's find()
+    // short-circuits at the first crossing bucket, so a bucket emitted into
+    // aux for a LATER frac evaluates earlier fracs' products only in Spark.
+    // Validate here, in exact driver arithmetic, the extreme magnitude every
+    // executor-side product can reach (cum ≤ off+s within an aux bucket,
+    // monotone since value ≥ 0): an overflowing call site fails loudly
+    // instead of returning a wrong or NULL pick.
+    def checkMag(a: Any, k: Long): Unit = a match {
+      case null => ()
+      case x: java.lang.Long =>
+        try { Math.multiplyExact(x.longValue(), k); () }
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"quantilePicks: $x * $k overflows Long — the executor-side " +
+              "crossing comparison would wrap silently; cast `value` to a " +
+              "decimal column")
+        }
+      case x: Integer => checkMag(java.lang.Long.valueOf(x.longValue()), k)
+      case x: java.math.BigDecimal =>
+        val p = x.multiply(java.math.BigDecimal.valueOf(k)).precision
+        require(p <= 38,
+          s"quantilePicks: $x * $k needs $p digits > decimal(38) — the " +
+            "executor-side crossing comparison would overflow to NULL; " +
+            "reduce the value column's scale")
+      case _ => ()
+    }
 
     // aux rows: (group..., bkt, off, rnoff, moffs..., W, mtots...,
     //            need_0..need_{k-1})
@@ -356,6 +477,10 @@ object ScalableCumulate {
         val idx = sorted.indices.find(i =>
           crosses(times(plus(offs(i), sums(i)), den), target))
         idx.getOrElse(sorted.length - 1)
+      }
+      for (i <- sorted.indices if crossing.contains(i); (num, den) <- fracs) {
+        checkMag(plus(offs(i), sums(i)), den) // max den·cum in this bucket
+        checkMag(w, num)                      // num·W, evaluated per row
       }
       for (i <- sorted.indices if crossing.contains(i))
         auxRows += Row.fromSeq(gkey ++
@@ -385,7 +510,12 @@ object ScalableCumulate {
       .partitionBy((groupCols :+ "__bkt").map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = withB.join(broadcast(auxDf), groupCols :+ "__bkt")
+    // Null-safe equi-join (round-10 advice #3): a plain using-columns join
+    // drops a NULL group key — the partials groupBy retains the null group
+    // and an aux row is built for it, but EqualTo never matches nulls, so
+    // that group would silently vanish from the output. <=> keeps it, and
+    // the tiny broadcast side still hash-joins.
+    val joined = nullSafeJoin(withB, auxDf, groupCols :+ "__bkt")
       .withColumn("__cum", sum(value).over(w) + col("__off"))
       .withColumn("__rn", sum(lit(1L)).over(w) + col("__rnoff"))
     val withM = metrics.foldLeft(joined) { case (d, (n, c)) =>
@@ -503,7 +633,8 @@ object ScalableCumulate {
       .partitionBy((groupCols :+ "__bkt").map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var out = withB.join(broadcast(offDf), groupCols :+ "__bkt")
+    // null-safe on the group keys — see the Job-3 comment in quantilePicks
+    var out = nullSafeJoin(withB, offDf, groupCols :+ "__bkt")
     for (c <- cums)
       out = out.withColumn(c.name, sum(c.value).over(w) + col("__off_" + c.name))
     (out.drop(cums.map("__off_" + _.name): _*).drop("__bkt"), grandTotals.toMap)

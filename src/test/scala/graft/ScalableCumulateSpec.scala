@@ -225,10 +225,14 @@ class ScalableCumulateSpec extends AnyFunSuite {
       val rows = Seq.fill(n)((("g" + rnd.nextInt(nGroups)),
         rnd.nextInt(dist).toLong * 7, 1L + rnd.nextInt(5).toLong))
       val den = 2L + rnd.nextInt(99)
-      val num = 1L + rnd.nextInt(den.toInt)
+      val num0 = 1L + rnd.nextInt(den.toInt)
       val nb = 1 + rnd.nextInt(8)
       val asc = rnd.nextBoolean()
       val strict = rnd.nextBoolean()
+      // strict + num == den is a rejected input (vacuous crossing — the
+      // require has its own fixture test); clamp without disturbing the
+      // RNG stream so the other 15 trials draw exactly what they used to
+      val num = if (strict && num0 == den) num0 - 1 else num0
       val grouped = rnd.nextBoolean()
       def ref(rs: Seq[(String, Long, Long)]): Long = {
         val sorted = if (asc) rs.sortBy(_._2) else rs.sortBy(-_._2)
@@ -309,14 +313,37 @@ class ScalableCumulateSpec extends AnyFunSuite {
     val h = t(spark, sf, "orders")
       .groupBy(col("o_totalprice").as("x")).agg(count(lit(1)).as("cnt"))
     ScalableCumulate.resetHiddenShuffles()
-    val m = ScalableCumulate.materialize(h)
-    // the input's upstream shuffles moved into the ledger (the groupBy
-    // plans at least one exchange), and a second call is a no-op — the
-    // relation is not copied again and the ledger does not double-count
-    val afterFirst = ScalableCumulate.hiddenShuffles
-    assert(afterFirst >= 1, "ledger missed the hidden aggregate shuffle")
-    assert(ScalableCumulate.materialize(m) eq m)
-    assert(ScalableCumulate.hiddenShuffles == afterFirst)
+    try {
+      val m = ScalableCumulate.materialize(h)
+      // the input's upstream shuffles moved into the ledger (the groupBy
+      // plans at least one exchange), and a second call is a no-op — the
+      // relation is not copied again and the ledger does not double-count
+      val afterFirst = ScalableCumulate.hiddenShuffles
+      assert(afterFirst >= 1, "ledger missed the hidden aggregate shuffle")
+      assert(ScalableCumulate.materialize(m) eq m)
+      assert(ScalableCumulate.hiddenShuffles == afterFirst)
+      // the audit window is thread-owned: a read from another thread is a
+      // loud failure (round-10 advice #4 — a cross-thread build would
+      // silently under-count the pinned budgets otherwise)
+      @volatile var crossErr: Throwable = null
+      val t2 = new Thread(() =>
+        try ScalableCumulate.hiddenShuffles
+        catch { case e: Throwable => crossErr = e })
+      t2.start(); t2.join()
+      assert(crossErr != null &&
+        crossErr.getMessage.contains("resetHiddenShuffles"),
+        s"cross-thread ledger read did not fail loudly: $crossErr")
+      // and a ledger WRITE off the auditing thread while the window is
+      // open must fail too — that write belongs to the audited plan but
+      // would land in a ledger the auditor never reads
+      @volatile var writeErr: Throwable = null
+      val t3 = new Thread(() =>
+        try ScalableCumulate.materialize(h)
+        catch { case e: Throwable => writeErr = e })
+      t3.start(); t3.join()
+      assert(writeErr != null && writeErr.getMessage.contains("audit window"),
+        s"cross-thread ledger write did not fail loudly: $writeErr")
+    } finally ScalableCumulate.endAudit()
     // an unpartitioned-window lineage is refused: checkpointing it would
     // hide the exact single-task-sort hazard the helper exists to retire
     val hazard = h.withColumn("cum",
@@ -325,5 +352,74 @@ class ScalableCumulateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ScalableCumulate.materialize(hazard)
     }
+  }
+
+  test("quantilePicks rejects strict fracs with num == den (vacuous crossing)") {
+    // round-10 advice #1: strict + num==den can never cross (cum ≤ W), so
+    // the driver fallback (last bucket) and Job 3's aggregate (NULL pick)
+    // would disagree — the input is rejected loudly instead
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")), lit(1L),
+        Seq((1L, 2L), (3L, 3L)), strict = true)
+    }
+    assert(e.getMessage.contains("num < den"), e.getMessage)
+  }
+
+  test("quantilePicks fails loudly when a crossing product would overflow") {
+    // round-10 advice #2: Job 3 re-evaluates den·cum / num·W on executors
+    // in unchecked arithmetic — the driver-side magnitude guard must
+    // reject call sites whose products exceed Long / decimal(38) BEFORE
+    // a wrong or NULL pick can come back.
+    import spark.implicits._
+    // decimal: W = 2e37 (precision 38 — fits); 9·W needs 39 digits, which
+    // the executor-side decimal(38,0) product would overflow to NULL
+    val dec = Seq(0L, 1L, 2L, 3L).toDF("x").select(col("x"),
+      lit("5000000000000000000000000000000000000")
+        .cast(DecimalType(38, 0)).as("w"))
+    val e = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(dec, col("x"), Seq(col("x")), col("w"),
+        Seq((9L, 10L)))
+    }
+    assert(e.getMessage.contains("decimal(38)"), e.getMessage)
+  }
+
+  test("null group keys survive the null-safe offset/aux joins") {
+    // round-10 advice #3: the partials groupBy keeps the null group and an
+    // aux row is built for it, but a plain equi-join would drop it — the
+    // null-safe join returns the row the naive histogram form would
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L), (Option.empty[String], 2L),
+      (Option.empty[String], 5L), (Option("a"), 3L)).toDF("g", "x")
+    val r = ScalableCumulate.cumSum(df, col("x"), ascending = true,
+      Seq(col("x")), Seq(Cum("c", col("x"))), groupCols = Seq("g"))
+    assert(r.count() == 4)
+    val nulls = r.filter(col("g").isNull).orderBy("x")
+      .select("c").collect().map(_.getLong(0)).toSeq
+    assert(nulls == Seq(2L, 7L), s"null-group cumsum: $nulls")
+    val p = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
+      lit(1L), Seq((1L, 2L)), groupCols = Seq("g"))
+    val got = p.collect()
+      .map(row => Option(row.getString(0)) -> row.getLong(1)).toMap
+    assert(got == Map(Option("a") -> 1L, None -> 2L), s"null-group picks: $got")
+  }
+
+  test("quantilePicks auto-materializes a derived input (one upstream execution)") {
+    // round-10 verdict #4: the bounds, partials, and returned plans each
+    // re-execute the input; a bare scan is cheap (pushdown), but a
+    // join-derived input must be checkpointed once — count upstream
+    // evaluations with an accumulator to prove exactly-once
+    val acc = spark.sparkContext.longAccumulator("upstream_evals")
+    val tick = udf { (w: Long) => acc.add(1L); w }.asNondeterministic()
+    val a = spark.range(0, 100).select(col("id").as("k"), (col("id") % 10).as("x"))
+    val b = spark.range(0, 100).select(col("id").as("k"), lit(1L).as("w"))
+    val derived = a.join(b, "k").select(col("x"), tick(col("w")).as("w"))
+    val r = ScalableCumulate.quantilePicks(derived, col("x"), Seq(col("x")),
+      col("w"), Seq((1L, 2L)))
+    // 0..9 ×10 each, W=100: first cum·2 ≥ 100 is cum=50 at x=4
+    assert(r.select("pick_0").head().getLong(0) == 4L)
+    assert(acc.value == 100L,
+      s"upstream executed ${acc.value}/100 row-evals — expected exactly one pass")
   }
 }
