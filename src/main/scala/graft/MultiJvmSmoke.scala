@@ -109,9 +109,15 @@ object MultiJvmSmoke {
     val tbl = s"mj_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")}"
     graft.sources.MemSink.clear(tbl)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mjsink_")
+    // the streaming file source wants a DIRECTORY; testdata tables are
+    // single files — stage a copy
+    val inDir = java.nio.file.Files.createTempDirectory("graft_mjsink_in_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/region.parquet"),
+      inDir.resolve("region.parquet"))
     val q = s.readStream
       .schema("r_regionkey LONG, r_name STRING, r_comment STRING")
-      .parquet(s"$sfDir/region.parquet")
+      .parquet(inDir.toString)
       .selectExpr("r_regionkey", "upper(r_name) AS r_name")
       .writeStream.format("graft.sources.MemSink")
       .option("name", tbl)

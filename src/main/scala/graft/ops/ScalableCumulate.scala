@@ -47,7 +47,12 @@ import org.apache.spark.sql.types._
   * executor that computed it — O(data/executors) transient local storage,
   * strictly cheaper than recomputing the dominant stage twice more. (The
   * blocks are not resilient to executor loss; a lost block fails the job
-  * and the batch retries — the standard localCheckpoint trade.)
+  * and the batch retries — the standard localCheckpoint trade. That
+  * failure path is EXERCISED, not just documented: CheckpointFaultSmoke /
+  * CheckpointFaultSpec hard-kill one executor of a local-cluster[2,1]
+  * after materialize() and verify the consumer fails loudly with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — never silently wrong — while the
+  * live lineage still recomputes correctly via ordinary task retry.)
   */
 object ScalableCumulate {
 

@@ -13,3 +13,7 @@ export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
 export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 sbt -batch -error "runMain graft.MultiJvmSmoke ${1:-/root/testdata/sf0.001}" 2>&1 \
   | grep "\[multijvm\]"
+# localCheckpoint fault drill: hard-kill one executor after materialize(),
+# assert loud failure or retry-correct — never silent-wrong rows
+sbt -batch -error "runMain graft.CheckpointFaultSmoke ${1:-/root/testdata/sf0.001}" 2>&1 \
+  | grep "\[fault\]"
