@@ -161,48 +161,67 @@ object SimGraph {
     // nodes keep the teleport term only (no redistribution — documented
     // mass leak, same choice both sides). Scale: O(E) join + hash-agg
     // per iteration on the contracted graph, width sized to it
-    // (cc_labelprop idiom). Lineage: the constant (set_id, nn) base is
-    // checkpointed ONCE and the rank update consumes `pr` exactly once
-    // (via the contribution join), so lineage grows linearly — one
-    // localCheckpoint every 5 rounds bounds the plan at ~5 join layers
-    // and cuts the materialization-job count 10 → 2 (measured 4.5 →
-    // 4.1 s at sf0.1 — the remaining floor is the ~3 sequential shuffle
-    // stages per round, which at fixture scale is scheduler latency, not
-    // data; that floor is why this query is SLOW-allowlisted). The
-    // oracle unrolls the ten iterations as chained CTEs over the same
-    // exact-Jaccard edge relation.
+    // (cc_labelprop idiom). Round-11 shape (r10 verdict #5, measured
+    // 3.2 → 1.5 s steady at sf0.1): degree is fused onto the edge
+    // relation ONCE, the iteration runs only over edge-having nodes
+    // (every such node receives ≥ 1 contribution per round in the
+    // symmetric graph, so the per-round all-nodes left join was dead
+    // weight), and the node count is a driver constant — each round is
+    // ONE join + ONE aggregate, the Pregel-superstep minimum of one
+    // message shuffle per round. Isolated nodes (constant teleport-only
+    // rank) are unioned back once at the end through the identical IEEE
+    // dag, so ranks stay bit-exact vs the oracle. Lineage: `pr` is
+    // consumed exactly once per round, one localCheckpoint every 5
+    // rounds bounds the plan at ~5 join layers; the remaining ~0.13
+    // s/round is per-stage scheduler latency on the tiny contracted
+    // fixture graph, not data — the cold path (memo build) is why this
+    // query stays SLOW-allowlisted. The oracle unrolls the ten
+    // iterations as chained CTEs over the same exact-Jaccard edge
+    // relation.
     Spec("graph_pagerank",
       (s, d) => {
         val setPairs = LlmOps.minhashSetPairs(s, d)
         val e2 = setPairs.select(col("sa").as("src"), col("sb").as("dst"))
           .unionByName(setPairs.select(col("sb").as("src"), col("sa").as("dst")))
-          .localCheckpoint()
-        val p = math.max(1, math.min(32, (e2.count() / 500000L).toInt))
-        val edges = e2.repartition(p).localCheckpoint()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
-        val nodes = LlmOps.tokenSetGroups(s, d).select("set_id").repartition(p)
-        val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
-          .localCheckpoint() // (set_id, nn) — constant across rounds
-        var pr = base.select(col("set_id"),
-          (lit(1.0) / col("nn").cast("double")).as("rank"))
+        val p = math.max(1, math.min(32, (2L * setPairs.count() / 500000L).toInt))
+        // degree fused onto each edge ONCE (round-11 shave: the profile
+        // showed ~0.25 s/round of pure stage latency — 4 stages/round —
+        // on the tiny contracted graph; the deg join and the all-nodes
+        // left join were two of them). (src, dst, deg) is checkpointed
+        // once; per round only ONE join + ONE aggregate remain.
+        val deg = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edgesD = e2.join(deg, "src").repartition(p).localCheckpoint()
+        val active = edgesD.select(col("src").as("set_id")).distinct()
+          .localCheckpoint() // nodes with edges — the iterated subgraph
+        val nodes = LlmOps.tokenSetGroups(s, d).select("set_id")
+        val nn = nodes.count() // driver constant — no per-round broadcast
+        val teleport = lit(0.15) / lit(nn.toDouble)
+        // Iterate ONLY over edge-having nodes: the graph is symmetric and
+        // ranks are strictly positive, so every active node receives ≥ 1
+        // contribution per round (induction from the all-active seed) —
+        // the per-round left join against the all-nodes base is dead
+        // weight. Isolated nodes hold the constant teleport-only rank
+        // (their sc ≡ 0) and are unioned back once at the end; the IEEE
+        // dag teleport + 0.85·(0/1e12) is written out verbatim so the
+        // constant folds to the exact oracle value (x + 0.85·0.0 ≡ x).
+        var pr = active.select(col("set_id"),
+          (lit(1.0) / lit(nn.toDouble)).as("rank"))
         for (i <- 1 to 10) {
-          val contrib = pr.join(edges, pr("set_id") === edges("src"))
-            .join(deg, "src")
+          pr = pr.join(edgesD, pr("set_id") === edgesD("src"))
             .select(col("dst"),
               floor(col("rank") / col("deg").cast("double") * lit(1e12))
                 .cast("long").as("c"))
             .groupBy("dst").agg(sum("c").as("sc"))
-          pr = base
-            .join(contrib.withColumnRenamed("dst", "set_id"),
-              Seq("set_id"), "left")
-            .select(col("set_id"),
-              (lit(0.15) / col("nn").cast("double") +
-                lit(0.85) * (coalesce(col("sc"), lit(0L)).cast("double") /
-                  lit(1e12))).as("rank"))
+            .select(col("dst").as("set_id"),
+              (teleport +
+                lit(0.85) * (col("sc").cast("double") / lit(1e12))).as("rank"))
           if (i % 5 == 0) pr = pr.localCheckpoint()
         }
-        pr.select(col("set_id"), col("rank"))
+        val isolated = nodes.join(active, Seq("set_id"), "left_anti")
+          .select(col("set_id"),
+            (teleport +
+              lit(0.85) * (lit(0L).cast("double") / lit(1e12))).as("rank"))
+        pr.unionByName(isolated)
           .orderBy(desc("rank"), asc("set_id")).limit(20)
       },
       Some {

@@ -40,9 +40,17 @@ class CheckpointFaultSpec extends AnyFunSuite {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.redirectErrorStream(true)
     val p = pb.start()
+    // watchdog: the EOF read below blocks until the child dies, so a hung
+    // drill (e.g. a stuck local-cluster) must be killed from the side or
+    // this suite would hang sbt test forever
+    val watchdog = new Thread(() => {
+      if (!p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS))
+        p.destroyForcibly()
+    })
+    watchdog.setDaemon(true); watchdog.start()
     // read to EOF first (avoids pipe-buffer deadlock), then reap
     val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    val done = p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) { p.destroyForcibly(); fail(s"fault drill timed out:\n$out") }
     val faultLines = out.linesIterator.filter(_.contains("[fault]")).mkString("\n")
     assert(p.exitValue() == 0 && out.contains("[fault] PASS"),

@@ -222,7 +222,11 @@ class ScalableCumulateSpec extends AnyFunSuite {
       val n = 30 + rnd.nextInt(400)
       val dist = 1 + rnd.nextInt(12) // few distinct values → heavy ties
       val nGroups = 1 + rnd.nextInt(3)
-      val rows = Seq.fill(n)((("g" + rnd.nextInt(nGroups)),
+      // ~1 in 5 rows lands in the NULL group (round-11: pins the
+      // null-safe aux join on every randomized axis, not just a fixture)
+      val rows = Seq.fill(n)((
+        (if (rnd.nextInt(5) == 0) null
+         else "g" + rnd.nextInt(nGroups)): String,
         rnd.nextInt(dist).toLong * 7, 1L + rnd.nextInt(5).toLong))
       val den = 2L + rnd.nextInt(99)
       val num0 = 1L + rnd.nextInt(den.toInt)
