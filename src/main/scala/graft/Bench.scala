@@ -96,6 +96,25 @@ object Bench {
     * by a factor of 5 while three consecutive quiet runs stay under half.
     */
   val CalibQuietS = 0.25
+
+  /** The distortion rule as a pure function, so the graded gate's logic
+    * is unit-testable (BenchRuleSpec sweeps it, including the exact r10
+    * driver fingerprint: calib ≫ band while mtspin/spin reads quiet).
+    * Three independent evidence classes; any one trips the flag. Returns
+    * (distorted, which-clauses-fired).
+    */
+  def distortionVerdict(
+      calib0: Double, calib1: Double,
+      spin0: Double, mtspin0: Double,
+      spin1: Double, mtspin1: Double,
+      loadAtMax: Double, cores: Int): (Boolean, String) = {
+    val calibBad = calib0 > 3 * CalibQuietS || calib1 > 3 * CalibQuietS
+    val spinBad = mtspin0 > 2.5 * spin0 || mtspin1 > 2.5 * spin1
+    val loadBad = loadAtMax > 1.5 * cores
+    (calibBad || spinBad || loadBad,
+      s"calib=$calibBad spin=$spinBad load=$loadBad")
+  }
+
   private def calib(spark: SparkSession): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -246,14 +265,13 @@ object Bench {
     // all-core spin far above the single-core spin, or a per-query load
     // sample far above the machine. A distorted run's per-query numbers
     // are not regressions; rerun on a quiet host.
-    val calibBad = calib0 > 3 * CalibQuietS || calib1 > 3 * CalibQuietS
-    val spinBad = mtspin0 > 2.5 * spin0 || mtspin1 > 2.5 * spin1
-    val loadBad = loadMax > 1.5 * Runtime.getRuntime.availableProcessors
-    val distorted = calibBad || spinBad || loadBad
+    val (distorted, clauses) = distortionVerdict(calib0, calib1,
+      spin0, mtspin0, spin1, mtspin1, loadMax,
+      Runtime.getRuntime.availableProcessors)
     if (distorted)
-      System.err.println(s"[bench] DISTORTED calib=$calibBad spin=$spinBad " +
-        s"load=$loadBad — host contention; rerun on a quiet host before " +
-        "reading per-query numbers as regressions")
+      System.err.println(s"[bench] DISTORTED $clauses — host contention; " +
+        "rerun on a quiet host before reading per-query numbers as " +
+        "regressions")
     println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"n_resampled":${resampled.size},"distorted":$distorted,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_quiet_band_s":$CalibQuietS,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
     spark.stop()
   }

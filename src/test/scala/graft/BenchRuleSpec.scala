@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench distortion rule is a GRADED gate (the driver's total is the
+  * perf number, and two consecutive rounds shipped contention-distorted
+  * samples the old rule certified quiet) — so its logic is pinned here as
+  * a pure function, not just prose in README.
+  */
+class BenchRuleSpec extends AnyFunSuite {
+  private def verdict(calib0: Double = 0.15, calib1: Double = 0.15,
+      spin0: Double = 70, mtspin0: Double = 90,
+      spin1: Double = 70, mtspin1: Double = 90,
+      loadAtMax: Double = 5, cores: Int = 32) =
+    Bench.distortionVerdict(calib0, calib1, spin0, mtspin0, spin1, mtspin1,
+      loadAtMax, cores)
+
+  test("a genuinely quiet run is not flagged") {
+    // round-11 measured quiet-host shape: calib ~0.06-0.20, mtspin/spin
+    // ~1.1-2.3, load_at_max ~5-7 of 32 cores (the bench's own threads)
+    assert(!verdict()._1)
+    assert(!verdict(calib0 = 0.198, calib1 = 0.065, mtspin0 = 161.1,
+      spin0 = 71.8, mtspin1 = 80.0, spin1 = 69.4, loadAtMax = 7.28)._1)
+  }
+
+  test("the r10 driver fingerprint is caught by the calib clause alone") {
+    // the distorted r10 driver sample read mtspin/spin ~1.4 and
+    // load_at_max 11.79 on 32 cores — BOTH legacy clauses passed — while
+    // a fixed-work step ran 17x its quiet band. The known-work anchor is
+    // the clause that catches it even when every spin looks quiet.
+    val (d, clauses) = verdict(calib0 = 0.15 * 17, mtspin0 = 98, spin0 = 70,
+      loadAtMax = 11.79)
+    assert(d && clauses.contains("calib=true"), clauses)
+    // either end's sample suffices
+    assert(verdict(calib1 = 3.1 * Bench.CalibQuietS)._1)
+  }
+
+  test("parallel-spin and load clauses still fire independently") {
+    val (d1, c1) = verdict(mtspin0 = 300, spin0 = 70)
+    assert(d1 && c1.contains("spin=true"), c1)
+    val (d2, c2) = verdict(mtspin1 = 300, spin1 = 70)
+    assert(d2 && c2.contains("spin=true"), c2)
+    val (d3, c3) = verdict(loadAtMax = 60, cores = 32)
+    assert(d3 && c3.contains("load=true"), c3)
+  }
+
+  test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
+    assert(!verdict(calib0 = 3 * Bench.CalibQuietS)._1,
+      "exactly 3x band must not flag (threshold is strict >)")
+    assert(verdict(calib0 = 3 * Bench.CalibQuietS + 1e-9)._1)
+    assert(!verdict(mtspin0 = 2.5 * 70, spin0 = 70)._1)
+    assert(verdict(mtspin0 = 2.5 * 70 + 0.1, spin0 = 70)._1)
+  }
+}

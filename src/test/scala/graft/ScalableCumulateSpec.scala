@@ -273,6 +273,55 @@ class ScalableCumulateSpec extends AnyFunSuite {
     }
   }
 
+  test("quantilePicks: randomized differential with metric cums (total order)") {
+    // round-11: the metrics path (per-frac cumulative side sums reported
+    // AT the pick row) was fixture-only — sweep it across the same axes
+    // as the main differential, under the documented total-order
+    // requirement (unique id breaks primary ties deterministically).
+    import spark.implicits._
+    val rnd = new scala.util.Random(112233)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(300)
+      val dist = 1 + rnd.nextInt(10) // heavy ties in the primary
+      val rows = (0 until n).map(i => (i.toLong,
+        rnd.nextInt(dist).toLong * 3, 1L + rnd.nextInt(4).toLong,
+        rnd.nextInt(100).toLong)) // (id, x, w, mv)
+      val den = 2L + rnd.nextInt(50)
+      val num0 = 1L + rnd.nextInt(den.toInt)
+      val strict = rnd.nextBoolean()
+      val num = if (strict && num0 == den) num0 - 1 else num0
+      val asc = rnd.nextBoolean()
+      val nb = 1 + rnd.nextInt(6)
+      // reference fold over the total order (x, id): inclusive cum + the
+      // metric cum at the first crossing row. A crossing always exists:
+      // non-strict at cum=W trivially; strict because num < den.
+      val sorted = if (asc) rows.sortBy(r => (r._2, r._1))
+        else rows.sortBy(r => (-r._2, r._1))
+      val w = rows.map(_._3).sum
+      var cum = 0L; var mcum = 0L
+      val hit = sorted.find { r =>
+        cum += r._3; mcum += r._4
+        if (strict) den * cum > num * w else den * cum >= num * w
+      }.get
+      spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
+      try {
+        val ord = Seq(if (asc) col("x").asc else col("x").desc, col("id").asc)
+        val r = ScalableCumulate.quantilePicks(rows.toDF("id", "x", "w", "mv"),
+            col("x"), ord, col("w"), Seq((num, den)), ascending = asc,
+            strict = strict, metrics = Seq("m" -> col("mv")),
+            totalName = "wtot")
+          .select("pick_0", "cum_0", "m_0", "m_total", "wtot").head()
+        val label = s"trial $trial: n=$n frac=$num/$den nb=$nb asc=$asc " +
+          s"strict=$strict"
+        assert(r.getLong(0) == hit._2 && r.getLong(1) == cum &&
+          r.getLong(2) == mcum && r.getLong(3) == rows.map(_._4).sum &&
+          r.getLong(4) == w,
+          s"$label: got $r, expected (${hit._2}, $cum, $mcum, " +
+            s"${rows.map(_._4).sum}, $w)")
+      } finally spark.conf.unset("spark.graft.cumulate.buckets")
+    }
+  }
+
   test("quantilePicks: descending + strict + metric cums (ABC boundaries)") {
     // revenues 50,30,10,5,5,0 (desc), W=100. Strict 8/10 crossing: first
     // cum·10 > 800 is cum=90 at value 10 (3rd row); strict 95/100: first
