@@ -511,16 +511,16 @@ object LlmOps {
       (s, d) => {
         val groups = tokenSetGroups(s, d)
         val setPairs = minhashSetPairs(s, d)
-        val edgesRaw = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
-          .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
-          .localCheckpoint()
         // size the iteration's parallelism to the CONTRACTED graph: the
         // per-round cost of a tiny graph at full shuffle width is pure
         // scheduler overhead (measured ~1.6 s/round at 32 partitions vs
         // ~0.2 s at 1 for a 58k-edge graph); a 100 TB corpus contracts to
-        // millions of sets and scales the width back up
-        val p = math.max(1, math.min(32, (edgesRaw.count() / 500000L).toInt))
-        val edges = edgesRaw.repartition(p).localCheckpoint()
+        // millions of sets and scales the width back up. The pair count
+        // comes free off the memoized relation — one checkpoint, not two.
+        val p = math.max(1, math.min(32, (2L * setPairs.count() / 500000L).toInt))
+        val edges = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
+          .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
+          .repartition(p).localCheckpoint()
         var labels = groups.select(col("set_id").as("sid"),
           col("set_id").as("lbl")).repartition(p).localCheckpoint()
         var changed = 1L
@@ -529,9 +529,14 @@ object LlmOps {
           val nbMin = edges
             .join(labels.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
             .groupBy("sid").agg(min("nlbl").as("mn"))
+          // the round's heavy pipeline (neighbor-min join + agg + least)
+          // is checkpointed ONCE — the pointer-doubling self-join below
+          // consumes it twice, and without the checkpoint the whole
+          // pipeline executed twice per round (round-11 profile finding)
           val stepped = labels.join(nbMin, Seq("sid"), "left")
             .select(col("sid"), col("lbl").as("prev"),
               least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
           // pointer doubling: follow the label's own label (lbl(lbl(v)))
           // so a min travels exponentially along drift CHAINS — plain
           // neighbor-min needs O(chain length) rounds, this needs O(log).
@@ -544,10 +549,9 @@ object LlmOps {
               col("lbl").as("plbl")), Seq("lbl"), "left")
             .select(col("sid"), col("prev"),
               coalesce(col("plbl"), col("lbl")).as("nxt"))
-            .localCheckpoint()
           changed = next.where(col("nxt") =!= col("prev")).count()
-          // lazy projection over the checkpointed `next` — no third
-          // materialization job per round
+          // lazy self-join over the checkpointed `stepped` — one cheap
+          // join layer, no lineage growth, no third job per round
           labels = next.select(col("sid"), col("nxt").as("lbl"))
           iter += 1
         }
