@@ -100,8 +100,9 @@ object ScalableCumulate {
     * `sbt test` runs suites sequentially in one forked JVM, so a
     * cross-thread write during a window is genuinely anomalous, never a
     * legitimate concurrent build; auditors close their window with
-    * [[endAudit]] (PlanGuardSpec does it in afterAll) so unaudited
-    * construction elsewhere is never policed.
+    * [[endAudit]] (PlanGuardSpec in a per-test finally, PlanAudit.main
+    * after its sweep) so unaudited construction elsewhere is never
+    * policed.
     */
   private val auditor =
     new java.util.concurrent.atomic.AtomicReference[Thread](null)
@@ -183,13 +184,6 @@ object ScalableCumulate {
     */
   final case class Cum(name: String, value: Column)
 
-  /** True when re-executing `df`'s plan is as cheap as re-reading its
-    * source: only projections and filters over a leaf relation (file scan,
-    * LogicalRDD, LocalRelation) — the shapes where predicate/column
-    * pushdown makes each re-scan touch only the needed bytes. Anything
-    * else (join, aggregate, window, generate, union…) does real work per
-    * execution and must be materialized before a multi-action consumer.
-    */
   /** Inner join of `left` with the BROADCAST `right` on `keys`, null-safe
     * (`<=>`) so NULL keys match like the using-columns form never would,
     * keeping left's copy of each key column. Right is always one of the
@@ -202,6 +196,13 @@ object ScalableCumulate {
     keys.foldLeft(left.join(broadcast(right), cond))((d, k) => d.drop(right(k)))
   }
 
+  /** True when re-executing `df`'s plan is as cheap as re-reading its
+    * source: only projections and filters over a leaf relation (file scan,
+    * LogicalRDD, LocalRelation) — the shapes where predicate/column
+    * pushdown makes each re-scan touch only the needed bytes. Anything
+    * else (join, aggregate, window, generate, union…) does real work per
+    * execution and must be materialized before a multi-action consumer.
+    */
   private def cheapRescan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
     df.queryExecution.optimizedPlan.collectFirst {
