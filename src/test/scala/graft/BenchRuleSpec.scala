@@ -11,9 +11,10 @@ class BenchRuleSpec extends AnyFunSuite {
   private def verdict(calib0: Double = 0.15, calib1: Double = 0.15,
       spin0: Double = 70, mtspin0: Double = 90,
       spin1: Double = 70, mtspin1: Double = 90,
-      loadAtMax: Double = 5, cores: Int = 32) =
+      loadAtMax: Double = 5, cores: Int = 32,
+      calibMedSweep: Double = 0.15) =
     Bench.distortionVerdict(calib0, calib1, spin0, mtspin0, spin1, mtspin1,
-      loadAtMax, cores)
+      loadAtMax, cores, calibMedSweep)
 
   test("a genuinely quiet run is not flagged") {
     // round-11 measured quiet-host shape: calib ~0.06-0.20, mtspin/spin
@@ -42,6 +43,22 @@ class BenchRuleSpec extends AnyFunSuite {
     assert(d2 && c2.contains("spin=true"), c2)
     val (d3, c3) = verdict(loadAtMax = 60, cores = 32)
     assert(d3 && c3.contains("load=true"), c3)
+  }
+
+  test("sustained mid-sweep contention trips the in-sweep median clause") {
+    // round-11 field finding: a co-tenant window degraded a whole sweep
+    // ~1.6x while BOTH endpoint anchors and the guest load average read
+    // quiet (calib_s_start 0.254, calib_s_end 0.127) — only the spread
+    // in-sweep samples can see it. Median > 2x band => distorted; the
+    // softer 1.3x band reads as calib_elevated, an advisory that an
+    // inflated total is host noise.
+    val (d, c) = verdict(calib0 = 0.254, calib1 = 0.127,
+      calibMedSweep = 2 * Bench.CalibQuietS + 0.01)
+    assert(d && c.contains("calib=true"), c)
+    assert(!verdict(calibMedSweep = 1.9 * Bench.CalibQuietS)._1,
+      "sub-2x in-sweep median must not hard-flag")
+    assert(Bench.calibElevated(1.4 * Bench.CalibQuietS))
+    assert(!Bench.calibElevated(1.2 * Bench.CalibQuietS))
   }
 
   test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
