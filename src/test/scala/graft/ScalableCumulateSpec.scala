@@ -292,32 +292,51 @@ class ScalableCumulateSpec extends AnyFunSuite {
       val num = if (strict && num0 == den) num0 - 1 else num0
       val asc = rnd.nextBoolean()
       val nb = 1 + rnd.nextInt(6)
-      // reference fold over the total order (x, id): inclusive cum + the
-      // metric cum at the first crossing row. A crossing always exists:
-      // non-strict at cum=W trivially; strict because num < den.
-      val sorted = if (asc) rows.sortBy(r => (r._2, r._1))
-        else rows.sortBy(r => (-r._2, r._1))
-      val w = rows.map(_._3).sum
-      var cum = 0L; var mcum = 0L
-      val hit = sorted.find { r =>
-        cum += r._3; mcum += r._4
-        if (strict) den * cum > num * w else den * cum >= num * w
-      }.get
+      val grouped = rnd.nextBoolean() // grouped + metrics combined axis
+      def gOf(id: Long): String = "g" + (id % 3)
+      // reference fold over the total order (x, id) within a group:
+      // inclusive cum + the metric cum at the first crossing row. A
+      // crossing always exists: non-strict at cum=W trivially; strict
+      // because num < den.
+      def ref(rs: Seq[(Long, Long, Long, Long)]) = {
+        val sorted = if (asc) rs.sortBy(r => (r._2, r._1))
+          else rs.sortBy(r => (-r._2, r._1))
+        val w = rs.map(_._3).sum
+        var cum = 0L; var mcum = 0L
+        val hit = sorted.find { r =>
+          cum += r._3; mcum += r._4
+          if (strict) den * cum > num * w else den * cum >= num * w
+        }.get
+        (hit._2, cum, mcum, rs.map(_._4).sum, w)
+      }
+      val expected: Map[String, (Long, Long, Long, Long, Long)] =
+        if (grouped) rows.groupBy(r => gOf(r._1))
+          .map { case (g, rs) => g -> ref(rs) }
+        else Map("" -> ref(rows))
       spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
       try {
         val ord = Seq(if (asc) col("x").asc else col("x").desc, col("id").asc)
-        val r = ScalableCumulate.quantilePicks(rows.toDF("id", "x", "w", "mv"),
-            col("x"), ord, col("w"), Seq((num, den)), ascending = asc,
-            strict = strict, metrics = Seq("m" -> col("mv")),
-            totalName = "wtot")
-          .select("pick_0", "cum_0", "m_0", "m_total", "wtot").head()
+        val df = rows.toDF("id", "x", "w", "mv")
+          .withColumn("g", concat(lit("g"), col("id") % 3))
+        val picks = ScalableCumulate.quantilePicks(df,
+          col("x"), ord, col("w"), Seq((num, den)), ascending = asc,
+          strict = strict, metrics = Seq("m" -> col("mv")),
+          groupCols = if (grouped) Seq("g") else Nil, totalName = "wtot")
         val label = s"trial $trial: n=$n frac=$num/$den nb=$nb asc=$asc " +
-          s"strict=$strict"
-        assert(r.getLong(0) == hit._2 && r.getLong(1) == cum &&
-          r.getLong(2) == mcum && r.getLong(3) == rows.map(_._4).sum &&
-          r.getLong(4) == w,
-          s"$label: got $r, expected (${hit._2}, $cum, $mcum, " +
-            s"${rows.map(_._4).sum}, $w)")
+          s"strict=$strict grouped=$grouped"
+        val got: Map[String, (Long, Long, Long, Long, Long)] =
+          if (grouped) picks
+            .select("g", "pick_0", "cum_0", "m_0", "m_total", "wtot")
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+                r.getLong(5))).toMap
+          else Map("" -> {
+            val r = picks
+              .select("pick_0", "cum_0", "m_0", "m_total", "wtot").head()
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4))
+          })
+        assert(got == expected, s"$label: got $got, expected $expected")
       } finally spark.conf.unset("spark.graft.cumulate.buckets")
     }
   }
