@@ -71,7 +71,10 @@ object MultiJvmSmoke {
     "graph_pagerank", "sql_recursive_cte",
     // windowed per-shard cumsum packing, IVF cluster pruning, the
     // rowNumber-based exact AUC
-    "pack_sequences", "sim_ivf", "eval_auc")
+    "pack_sequences", "sim_ivf", "eval_auc",
+    // round-11 changed paths: the label-prop iteration (checkpointed
+    // round pipeline) and the grouped quantilePicks metrics consumer
+    "dedup_cc_labelprop", "agg_abc_class")
 
   private def run(master: String, extra: Map[String, String],
       sfDir: String): Map[String, Seq[String]] = {
