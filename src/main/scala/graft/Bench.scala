@@ -149,10 +149,9 @@ object Bench {
     * rounds can pin a band across observed host states before wiring it
     * into the verdict.
     */
-  private lazy val membandArr = new Array[Long](32 << 20) // 256 MB
   private def memband(): Double = {
+    val a = new Array[Long](32 << 20) // 256 MB, local — freed after the probe
     def once(): Double = {
-      val a = membandArr
       val t0 = System.nanoTime()
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i); i += 8 } // 8 longs = one 64 B line
