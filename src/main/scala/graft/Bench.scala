@@ -123,6 +123,37 @@ object Bench {
       s"calib=$calibBad spin=$spinBad load=$loadBad")
   }
 
+  /** Per-query quiet-host band (REPORT-ONLY): steady seconds from the
+    * round-11 clean sf0.1 run (114.5 s total), shipped as a classpath
+    * resource. [[bandStats]] compares a sweep's steady times against it;
+    * the MEDIAN ratio across all 324 queries is the single most robust
+    * host-state statistic available — immune to a few genuine per-query
+    * regressions, and a uniform elevation (the round-11 co-tenant window
+    * read median 1.62×) is either host degradation or a global
+    * regression, both of which warrant a quiet-host rerun before
+    * believing any number. Report-only: bands are hardware-specific, so
+    * they inform the reader rather than gate the run.
+    */
+  lazy val quietBand: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/bench_band.tsv")
+    if (in == null) Map.empty
+    else scala.io.Source.fromInputStream(in).getLines()
+      .map(_.split("\t")).collect { case Array(k, v) => k -> v.toDouble }
+      .toMap
+  }
+
+  /** (median steady/band ratio, queries over 2× their band, compared
+    * count) — pure for BenchRuleSpec.
+    */
+  def bandStats(results: Seq[(String, Double)],
+      band: Map[String, Double]): (Double, Int, Int) = {
+    val ratios = results.collect {
+      case (k, v) if band.get(k).exists(_ > 0.05) => v / band(k)
+    }.sorted
+    if (ratios.isEmpty) (0.0, 0, 0)
+    else (ratios(ratios.size / 2), ratios.count(_ > 2.0), ratios.size)
+  }
+
   /** Soft advisory (reported, never flags by itself): the in-sweep calib
     * median is outside the quiet band but under the hard threshold.
     * Round-11 observed a co-tenant window where queries ran ~1.6× slow
@@ -321,6 +352,15 @@ object Bench {
     val scSorted = sweepCalib.toSeq.sorted
     val calibMed = if (scSorted.isEmpty) 0.0 else scSorted(scSorted.size / 2)
     val calibMax = if (scSorted.isEmpty) 0.0 else scSorted.last
+    // the shipped band is sf0.1 steady times — comparing any other SF
+    // against it would be meaningless, so the stats only apply there
+    val (bandMedRatio, nOverBand2x, bandN) = bandStats(results,
+      if (sfDir.contains("sf0.1")) quietBand else Map.empty)
+    if (bandN > 0)
+      System.err.println(f"[bench] band_ratio median=$bandMedRatio%.2f " +
+        s"over_2x=$nOverBand2x/$bandN — vs the shipped round-11 quiet-host " +
+        "per-query band; a uniformly high median is host state (or a " +
+        "global regression), not per-query regressions")
     val (distorted, clauses) = distortionVerdict(calib0, calib1,
       spin0, mtspin0, spin1, mtspin1, loadMax,
       Runtime.getRuntime.availableProcessors, calibMed)
@@ -334,7 +374,7 @@ object Bench {
         f"$calibMed%.3f s vs quiet band $CalibQuietS — the host ran " +
         "degraded for part of the sweep; treat an inflated total as " +
         "host noise, not a regression")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"n_resampled":${resampled.size},"distorted":$distorted,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"n_resampled":${resampled.size},"distorted":$distorted,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"band_median_ratio":$bandMedRatio%.2f,"n_over_band_2x":$nOverBand2x,"band_n":$bandN,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
     spark.stop()
   }
 }

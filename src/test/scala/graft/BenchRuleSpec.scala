@@ -61,6 +61,24 @@ class BenchRuleSpec extends AnyFunSuite {
     assert(!Bench.calibElevated(1.2 * Bench.CalibQuietS))
   }
 
+  test("per-query band stats: median ratio is robust, over-2x counts") {
+    val band = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "tiny" -> 0.01)
+    // uniform 1.6x host degradation reads as median 1.6; one genuine 5x
+    // regression doesn't move the median; sub-50ms bands are excluded
+    val (med, over, n) = Bench.bandStats(
+      Seq("a" -> 1.6, "b" -> 1.6, "c" -> 5.0, "tiny" -> 9.9), band)
+    assert(n == 3 && med == 1.6 && over == 1)
+    assert(Bench.bandStats(Nil, band) == ((0.0, 0, 0)))
+    assert(Bench.bandStats(Seq("x" -> 1.0), Map.empty) == ((0.0, 0, 0)))
+    // the shipped resource names only declared queries (no stale orphans);
+    // a NEW query may lack a band row until the next clean-run regen —
+    // band_n in the artifact shows the coverage
+    val declared = SparkEntry.specs.map(_.name).toSet
+    val orphans = Bench.quietBand.keySet -- declared
+    assert(orphans.isEmpty, s"bench_band.tsv rows with no declared query: $orphans")
+    assert(Bench.quietBand.size >= 300, "bench_band.tsv went missing/empty")
+  }
+
   test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
     assert(!verdict(calib0 = 3 * Bench.CalibQuietS)._1,
       "exactly 3x band must not flag (threshold is strict >)")
