@@ -1,0 +1,51 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-job profiler for local iteration: runs named declared queries and
+  * prints every Spark job's wall time and call site, so a multi-job query
+  * (materialize + eager picks + the returned plan) shows WHERE its seconds
+  * go — job count × fixed scheduler latency vs real data work. Usage:
+  *   sbt "runMain graft.JobProf <sfDir> <query> [query ...]"
+  * Each query runs twice; the second (steady, post-JIT) run is the one to
+  * read. Not part of any gate — a diagnosis tool like RunOne.
+  */
+object JobProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = mutable.Map[Int, (Long, String)]()
+    val lines = mutable.ArrayBuffer[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = (System.nanoTime(),
+          s"stages=${j.stageInfos.size} " +
+            j.stageInfos.map(_.name.takeWhile(_ != '\n').take(60)).mkString(" | "))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (t0, site) =>
+          lines += f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $site"
+        }
+    })
+    args.tail.foreach { name =>
+      (1 to 2).foreach { pass =>
+        lines.clear()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the listener bus drain before printing
+        println(f"[jobprof] $name pass=$pass rows=$n total=$total%.3f s jobs=${lines.size}")
+        lines.foreach(println)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -16,44 +16,71 @@ object Analytics6 {
   val all: Seq[Spec] = Seq(
     // ABC revenue classification — cumulative-share banding of parts by
     // revenue (A = first 80% of revenue, B = next 15%, C = tail): the
-    // inventory-analytics classic. Revenue per part is the exact decimal
-    // msum; the share comparisons are cross-multiplied decimal (10·cum ≤
-    // 8·total etc. — no division, no float threshold). Round-10 shape:
-    // the class OUTPUT is only 3 rows, so no per-part cumulation is
-    // needed at all — the two STRICT boundary picks (first part with
-    // 10·cum > 8·W, first with 100·cum > 95·W) plus their inclusive
-    // cum/count metrics reconstruct every class total by pure arithmetic
-    // (A = everything before boundary 1; B = between; C = the rest).
-    // quantilePicks finds both boundaries with one bounds job + one
-    // map-side partials pass over the materialized part-revenue relation
-    // and windows only the crossing buckets — the part grain never
-    // passes through a full window at any scale. Empty classes (possible
-    // under degenerate skew) are filtered, matching the groupBy form.
+    // inventory-analytics classic. Line revenue has exactly 4 decimal
+    // digits (2-decimal price × 2-decimal discount), so round(r·10⁴)
+    // recovers the TRUE integer value in 10⁻⁴-dollar units (the double
+    // product's error is ~1e-7 ≪ 0.5): the per-row hot loop is pure Long
+    // — no BigDecimal conversion per lineitem (round-11; the old
+    // per-row cast(decimal(30,4)) single-threaded the one-row-group
+    // fixture scan at ~1 µs/row). The Long part sums are widened to
+    // decimal(38,0) AT THE PART GRAIN — 10⁶× fewer rows — because the
+    // grand total W would overflow Long at ~100 TB while per-part sums
+    // never do; the share comparisons stay cross-multiplied exact
+    // arithmetic (10·cum ≤ 8·total etc. — no division, no float
+    // threshold). Round-10 shape: the class OUTPUT is only 3 rows, so no
+    // per-part cumulation is needed at all — the two STRICT boundary
+    // picks (first part with 10·cum > 8·W, first with 100·cum > 95·W)
+    // plus their inclusive cum/count metrics reconstruct every class
+    // total by pure arithmetic (A = everything before boundary 1; B =
+    // between; C = the rest). quantilePicks finds both boundaries with
+    // one bounds job + one map-side partials pass over the materialized
+    // part-revenue relation and windows only the crossing buckets — the
+    // part grain never passes through a full window at any scale. The
+    // boundary row is ONE row, so it is collect()ed under noAqe and the
+    // three class rows are composed on the driver in exact BigDecimal /
+    // Long arithmetic (the agg_mad driver-composed-relation pattern —
+    // the caller then executes a LocalRelation, not a join+window
+    // cascade, cutting the query from ~10 Spark jobs to 5). Empty
+    // classes (possible under degenerate skew) are filtered, matching
+    // the groupBy form. The 2-decimal rounding of each class total is
+    // integer arithmetic ((u+50) div 100 — HALF_UP for the always-
+    // positive revenue), so the double output is bit-identical to the
+    // oracle's by IEEE division.
     Spec("agg_abc_class",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
+        import s.implicits._
         val rev = ScalableCumulate.materialize(t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000, 0).cast("long").as("u"))
           .groupBy("l_partkey")
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(30, 4))).as("rev")))
-        ScalableCumulate.quantilePicks(rev, col("rev"),
+          .agg(sum("u").cast(DecimalType(38, 0)).as("rev")))
+        val p = ScalableCumulate.noAqe(s)(ScalableCumulate.audited(
+          ScalableCumulate.quantilePicks(rev, col("rev"),
             Seq(desc("rev"), asc("l_partkey")), col("rev"),
             Seq((8L, 10L), (95L, 100L)), ascending = false, strict = true,
-            metrics = Seq("cnt" -> lit(1L)), totalName = "w")
-          .select(expr("""stack(3,
-              'A', cnt_0 - 1, cum_0 - pick_0,
-              'B', cnt_1 - cnt_0, (cum_1 - pick_1) - (cum_0 - pick_0),
-              'C', cnt_total - (cnt_1 - 1), w - (cum_1 - pick_1)
-            ) AS (cls, n_parts, class_rev)"""))
-          .where(col("n_parts") > 0)
-          .select(col("cls"), col("n_parts"),
-            round(col("class_rev"), 2).cast("double").as("class_revenue"))
-          .orderBy("cls")
+            metrics = Seq("cnt" -> lit(1L)), totalName = "w"))
+          .collect())(0)
+        def dec(n: String) = BigDecimal(p.getAs[java.math.BigDecimal](n))
+        val (pick0, cum0, cnt0) = (dec("pick_0"), dec("cum_0"), p.getAs[Long]("cnt_0"))
+        val (pick1, cum1, cnt1) = (dec("pick_1"), dec("cum_1"), p.getAs[Long]("cnt_1"))
+        val (cntTot, w) = (p.getAs[Long]("cnt_total"), dec("w"))
+        def toDollars(u: BigDecimal): Double = // round(u/10⁴, 2), HALF_UP
+          ((u + 50) / 100).setScale(0, BigDecimal.RoundingMode.FLOOR)
+            .toLongExact / 100.0
+        Seq(
+          ("A", cnt0 - 1, cum0 - pick0),
+          ("B", cnt1 - cnt0, (cum1 - pick1) - (cum0 - pick0)),
+          ("C", cntTot - (cnt1 - 1), w - (cum1 - pick1)))
+          .filter(_._2 > 0)
+          .map { case (c, n, u) => (c, n, toDollars(u)) }
+          .toDF("cls", "n_parts", "class_revenue")
       },
       Some("""WITH rev AS (
                 SELECT l_partkey,
-                  sum(CAST(l_extendedprice * (1.0 - l_discount)
-                    AS DECIMAL(30,4))) AS rev
+                  sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                    * 10000) AS BIGINT)) AS rev
                 FROM lineitem GROUP BY l_partkey),
               c AS (
                 SELECT l_partkey, rev,
@@ -66,7 +93,8 @@ object Analytics6 {
                           WHEN cum * 100 <= tot * 95 THEN 'B'
                           ELSE 'C' END AS cls,
                      count(*) AS n_parts,
-                     CAST(round(sum(rev), 2) AS DOUBLE) AS class_revenue
+                     CAST((sum(rev) + 50) // 100 AS DOUBLE) / 100.0
+                       AS class_revenue
               FROM c
               GROUP BY 1 ORDER BY cls""")),
 
@@ -301,39 +329,60 @@ object Analytics6 {
 
     // Median absolute deviation — the robust dispersion statistic
     // (outlier-immune, unlike stddev). Composes the exact-median
-    // construction TWICE: the global lower median of o_totalprice via
-    // histogram cumulation, then the same construction over
-    // |x − median|. No engine median/quantile function on either side;
-    // both passes run over value-compressed histograms, and the
-    // deviation values are exact decimal differences (prices have 2
-    // decimals), so the pick boundaries cannot round-tie. o_totalprice
-    // is near-unique, so the value grain is unbounded — both medians
-    // run through ScalableCumulate.quantilePicks: bucket partials over
-    // the raw rows (no histogram materialization, no data-sized
-    // shuffle), driver-exact crossing-bucket search, window over that
-    // one bucket. The first pick is collected (one scalar — the bounded
-    // driver-collect class) so the deviation column is a plain literal
-    // projection, and the result is a driver-composed 1-row relation —
-    // no fact-table re-scan at action time beyond the picks' own jobs.
+    // construction TWICE: the global lower median of o_totalprice, then
+    // the same construction over |x − median|. No engine median/quantile
+    // function on either side. Prices have exactly 2 decimals, so
+    // round(p·100) recovers the TRUE integer cent value (the double
+    // product's error is ~1e-9 ≪ 0.5) — the whole pipeline runs in pure
+    // Long arithmetic: no per-row BigDecimal conversion anywhere, and
+    // the pick boundaries cannot round-tie. o_totalprice is near-unique,
+    // so the value grain is unbounded — both medians run through
+    // ScalableCumulate.quantilePicks (bucket partials over raw rows,
+    // driver-exact crossing search, window over one bucket). Round-11
+    // job-count shave — five bounded Spark actions instead of seven,
+    // each exactly ONE job: the projection is persist()ed and one cheap
+    // min/max aggregate doubles as the cache fill; both picks take a
+    // boundsHint (pick 1 a linspace over [min, max], pick 2 a linspace
+    // over [0, max distance to the median] — ANY finite split points are
+    // correct by the hint contract, they only shape bucket sizes, and a
+    // price column has no adversarial value skew to unbalance them);
+    // the picks run under noAqe and are collect()ed rather than head()ed
+    // (CollectLimit's scale-up retries would re-launch up to three jobs
+    // hunting the one constant-key output partition). The first pick is
+    // one scalar — the bounded driver-collect class — so the deviation
+    // column is a plain literal projection, and the result is a
+    // driver-composed 1-row relation.
     Spec("agg_mad",
       (s, d) => {
-        import org.apache.spark.sql.types.DecimalType
-        // both picks make three bounded passes each over the same
-        // single-column projection — materialize it once so all six jobs
-        // read the stored column, not six parquet scans
-        val o = ScalableCumulate.materialize(t(s, d, "orders")
-          .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x")))
-        def pick(df: org.apache.spark.sql.DataFrame, c: String) =
-          ScalableCumulate.audited(
-            ScalableCumulate.quantilePicks(df, col(c), Seq(col(c)),
-              lit(1L), Seq((1L, 2L)))).head().getDecimal(0)
-        val m = pick(o, "x")
-        val mad = pick(o.select(abs(col("x") - lit(m)).as("dev")), "dev")
-        s.range(1).select(lit(m).cast("double").as("median_price"),
-          lit(mad).cast("double").as("mad"))
+        val o = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+          .persist()
+        try {
+          val nb = ScalableCumulate.buckets(s)
+          val st = ScalableCumulate.noAqe(s)(ScalableCumulate.audited(o.agg(
+            min(col("x")).as("lo"), max(col("x")).as("hi"),
+            count(when(col("x").isNull, 1)).as("bad"))).head())
+          require(st.getLong(2) == 0L, s"agg_mad: ${st.getLong(2)} null prices")
+          require(!st.isNullAt(0), "agg_mad: empty orders relation")
+          def linspace(a: Double, b: Double): Seq[Double] =
+            if (b <= a) Nil else (1 until nb).map(i => a + (b - a) * i / nb)
+          def pick(df: org.apache.spark.sql.DataFrame, c: String,
+              hint: Seq[Double]) =
+            ScalableCumulate.noAqe(s)(ScalableCumulate.audited(
+              ScalableCumulate.quantilePicks(df, col(c), Seq(col(c)),
+                lit(1L), Seq((1L, 2L)), boundsHint = Some(hint)))
+              .collect())(0).getLong(0)
+          val (lo, hi) = (st.getLong(0), st.getLong(1))
+          val m = pick(o, "x", linspace(lo.toDouble, hi.toDouble))
+          val mad = pick(o.select(abs(col("x") - lit(m)).as("dev")), "dev",
+            linspace(0d, math.max(m - lo, hi - m).toDouble))
+          s.range(1).select((lit(m) / lit(100.0)).as("median_price"),
+            (lit(mad) / lit(100.0)).as("mad"))
+        } finally { o.unpersist(); () }
       },
       Some("""WITH x AS (
-                SELECT CAST(o_totalprice AS DECIMAL(30,2)) AS x FROM orders),
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                FROM orders),
               c1 AS (
                 SELECT x, count(*) AS cnt FROM x GROUP BY x),
               m1 AS (
@@ -356,8 +405,8 @@ object Analytics6 {
                     sum(cnt) OVER (ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING
                       AND UNBOUNDED FOLLOWING) AS n
                   FROM c2) WHERE cum * 2 >= n)
-              SELECT CAST(m1.m AS DOUBLE) AS median_price,
-                     CAST(m2.mad AS DOUBLE) AS mad
+              SELECT CAST(m1.m AS DOUBLE) / 100.0 AS median_price,
+                     CAST(m2.mad AS DOUBLE) / 100.0 AS mad
               FROM m1, m2""")),
 
     // Expected shortfall / CVaR(95): the mean of the upper tail at or

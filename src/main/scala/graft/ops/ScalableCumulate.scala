@@ -152,6 +152,29 @@ object ScalableCumulate {
     df
   }
 
+  /** Run `f` with adaptive execution OFF, restoring the previous setting.
+    *
+    * The eager helper jobs here are fixed O(NB·|groups|) driver-collect
+    * shapes: AQE cannot improve them (nothing to re-plan at that size)
+    * but it EXECUTES each of their stages as a separate Spark job, and at
+    * fixture scale the per-job driver overhead — scheduling, listener
+    * round-trips, the adaptive re-optimization loop — dominates the work
+    * itself (round-11 measurement: agg_mad ran 18-20 jobs for five
+    * logical actions, with more wall time between jobs than in them).
+    * Session-conf toggling is safe here because `sbt test` runs suites
+    * sequentially in one forked JVM (the audit canary above documents the
+    * same invariant) and Verify/Bench execute queries one at a time; the
+    * RETURNED pick/cumulation plan is not executed inside the window, so
+    * callers still get AQE on the plan that does real work.
+    */
+  private[ops] def noAqe[T](spark: org.apache.spark.sql.SparkSession)(
+      f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try f finally spark.conf.set(k, prev)
+  }
+
   /** Materialize `df` once via eager localCheckpoint, recording its
     * upstream shuffle count in the hidden ledger first. No-op when the
     * plan is already a materialized LogicalRDD (so a call site may
@@ -345,6 +368,17 @@ object ScalableCumulate {
     * Returns one row per group. The eager bounds and partials jobs
     * register their shuffles in the hidden ledger, so the pinned budgets
     * stay honest.
+    *
+    * `boundsHint` (round-11): caller-supplied bucket split points that
+    * SKIP the bounds job entirely — one fewer sequential Spark action.
+    * Bounds only ever shape bucket SIZES (the crossing search and the
+    * final window are exact over whatever buckets exist), so ANY finite
+    * values are correct; badly placed ones merely unbalance the final
+    * filtered scan. Callers use it when split points are derivable from
+    * work already done — agg_mad folds the first pick's bounds around
+    * the median for the deviation pick. The NaN/null primary guard that
+    * the bounds job carried moves into the partials job (checked before
+    * any partial sum is trusted), so hinted calls stay exactly as loud.
     */
   def quantilePicks(
       df: DataFrame,
@@ -356,7 +390,8 @@ object ScalableCumulate {
       totalName: String = "total",
       ascending: Boolean = true,
       strict: Boolean = false,
-      metrics: Seq[(String, Column)] = Nil): DataFrame = {
+      metrics: Seq[(String, Column)] = Nil,
+      boundsHint: Option[Seq[Double]] = None): DataFrame = {
     require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
       s"fracs must satisfy 0 < num <= den, got $fracs")
     // strict + num == den is vacuous ("first row strictly over 100% of the
@@ -383,16 +418,21 @@ object ScalableCumulate {
 
     // Job 1: bounds + NaN/null guard (accuracy 1000: bounds only shape
     // bucket sizes, so a cheaper sketch costs nothing in exactness).
-    val qs = (1 until nbv).map(i => i.toDouble / nbv)
-    val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
-    val boundsRow = audited(in.agg(
-      percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
-      count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head()
-    require(boundsRow.getLong(1) == 0L,
-      s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
-    val bounds: Seq[Double] =
+    // Skipped entirely under a boundsHint — the guard then rides the
+    // partials job instead (see __bad below).
+    require(boundsHint.forall(_.forall(b => !b.isNaN && !b.isInfinite)),
+      s"quantilePicks: boundsHint must be finite, got $boundsHint")
+    val bounds: Seq[Double] = boundsHint.getOrElse {
+      val qs = (1 until nbv).map(i => i.toDouble / nbv)
+      val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
+      val boundsRow = noAqe(spark)(audited(in.agg(
+        percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
+        count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head())
+      require(boundsRow.getLong(1) == 0L,
+        s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
       if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
       else boundsRow.getSeq[Double](0)
+    }
     val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
       if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
       else acc + when(pd < lit(b), 1).otherwise(0)
@@ -403,15 +443,27 @@ object ScalableCumulate {
     val withB = in.withColumn("__bkt", bkt)
     val keyCols = groupCols.map(col) :+ col("__bkt")
     val mNames = metrics.map(_._1)
-    val partAggs = sum(value).as("__s") +: count(lit(1)).as("__n") +:
-      metrics.map { case (n, c) => sum(c).as(s"__sm_$n") }
+    // Under a boundsHint the bounds job (and its guard) never ran: count
+    // NaN/null primaries here — they'd land in bucket 0 via the when()
+    // fold — and fail loudly BEFORE any partial sum is used. Appended
+    // last so every positional index below is hint-independent.
+    val partAggs = (sum(value).as("__s") +: count(lit(1)).as("__n") +:
+      metrics.map { case (n, c) => sum(c).as(s"__sm_$n") }) ++
+      (if (boundsHint.isDefined)
+         Seq(count(when(pd.isNull || isnan(pd), 1)).as("__bad"))
+       else Nil)
     val part = withB.groupBy(keyCols: _*).agg(partAggs.head, partAggs.tail: _*)
     val partSchema = part.schema
     val ng = groupCols.size
     zero(partSchema("__s").dataType) // reject non-exact partial types
     mNames.foreach(n => zero(partSchema(s"__sm_$n").dataType))
+    val partRows = noAqe(spark)(audited(part).collect())
+    if (boundsHint.isDefined) {
+      val bad = partRows.map(_.getLong(partSchema.size - 1)).sum
+      require(bad == 0L, s"quantilePicks: $bad NaN/null primary keys")
+    }
     val byGroup: Map[Seq[Any], Array[Row]] =
-      audited(part).collect().groupBy(r => (0 until ng).map(r.get).toSeq)
+      partRows.groupBy(r => (0 until ng).map(r.get).toSeq)
 
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
@@ -576,9 +628,9 @@ object ScalableCumulate {
     // accuracy 1000: bounds only shape bucket SIZES (results depend solely
     // on value order — ScalableCumulateSpec pins bit-identity across
     // bucket layouts), so the cheaper sketch is free
-    val boundsRow = in.agg(
+    val boundsRow = noAqe(spark)(in.agg(
       percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
-      count(when(pd.isNull || isnan(pd), 1)).as("bad")).head()
+      count(when(pd.isNull || isnan(pd), 1)).as("bad")).head())
     require(boundsRow.getLong(1) == 0L,
       s"ScalableCumulate: ${boundsRow.getLong(1)} NaN/null primary order " +
         "keys — bucket assignment cannot rank them; filter or impute " +
@@ -602,7 +654,7 @@ object ScalableCumulate {
     cumTypes.foreach(zero) // reject non-exact partial types up front
 
     val byGroup: Map[Seq[Any], Array[Row]] =
-      part.collect().groupBy(r => (0 until ng).map(r.get).toSeq)
+      noAqe(spark)(part.collect()).groupBy(r => (0 until ng).map(r.get).toSeq)
     val offRows = mutable.ArrayBuffer.empty[Row]
     val grandTotals = mutable.Map.empty[Seq[Any], Map[String, Any]]
     for ((gkey, grs) <- byGroup) {

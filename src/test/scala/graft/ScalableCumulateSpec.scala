@@ -250,13 +250,23 @@ class ScalableCumulateSpec extends AnyFunSuite {
       val expected: Map[String, Long] =
         if (grouped) rows.groupBy(_._1).map { case (g, rs) => g -> ref(rs) }
         else Map("" -> ref(rows))
+      // boundsHint axis (round-11): a separate RNG so the primary draw
+      // stream is untouched. ~half the trials pass ARBITRARY split points
+      // (wrong range, duplicates, unsorted — anything finite); the hint
+      // contract says bounds only shape bucket sizes, so every pick must
+      // still equal the reference fold bit-for-bit.
+      val rnd2 = new scala.util.Random(trial * 7919)
+      val hint: Option[Seq[Double]] =
+        if (rnd2.nextBoolean()) None
+        else Some(Seq.fill(rnd2.nextInt(6))(
+          rnd2.nextDouble() * 200 - 50 * rnd2.nextInt(3)))
       spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
       try {
         val ord = if (asc) col("x").asc else col("x").desc
         val picks = ScalableCumulate.quantilePicks(rows.toDF("g", "x", "w"),
           col("x"), Seq(ord), col("w"), Seq((num, den)),
           groupCols = if (grouped) Seq("g") else Nil,
-          ascending = asc, strict = strict)
+          ascending = asc, strict = strict, boundsHint = hint)
         val label = s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb " +
           s"asc=$asc strict=$strict grouped=$grouped"
         if (grouped) {
@@ -475,6 +485,46 @@ class ScalableCumulateSpec extends AnyFunSuite {
     val got = p.collect()
       .map(row => Option(row.getString(0)) -> row.getLong(1)).toMap
     assert(got == Map(Option("a") -> 1L, None -> 2L), s"null-group picks: $got")
+  }
+
+  test("boundsHint skips the bounds job but keeps the NaN/null guard loud") {
+    // round-11: with a hint the bounds job (and its guard) never runs —
+    // the guard must ride the partials job instead, and fire BEFORE any
+    // partial sum is trusted. Also pin that a hinted call really does
+    // skip the bounds action (job count drops by one).
+    import spark.implicits._
+    val bad = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(bad, col("x"), Seq(col("x")), lit(1L),
+        Seq((1L, 2L)), boundsHint = Some(Seq(2.0)))
+    }
+    assert(e.getMessage.contains("NaN/null"), e.getMessage)
+    val nan = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(Seq(1.0).toDF("x"), col("x"),
+        Seq(col("x")), lit(1L), Seq((1L, 2L)),
+        boundsHint = Some(Seq(Double.NaN)))
+    }
+    assert(nan.getMessage.contains("finite"), nan.getMessage)
+    // the bounds ACTION is really gone under a hint: the hidden-shuffle
+    // ledger charges every eager helper job, so a hinted build records
+    // one exchange (partials) where an unhinted one records two
+    // (bounds + partials)
+    val df = Seq(1L, 2L, 3L, 4L).toDF("x")
+    try {
+      ScalableCumulate.resetHiddenShuffles()
+      val p = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
+        lit(1L), Seq((1L, 2L)), boundsHint = Some(Seq(2.5)))
+      assert(p.collect()(0).getLong(0) == 2L)
+      val hinted = ScalableCumulate.hiddenShuffles
+      ScalableCumulate.resetHiddenShuffles()
+      val p2 = ScalableCumulate.quantilePicks(df, col("x"), Seq(col("x")),
+        lit(1L), Seq((1L, 2L)))
+      assert(p2.collect()(0).getLong(0) == 2L)
+      val unhinted = ScalableCumulate.hiddenShuffles
+      assert(unhinted == hinted + 1,
+        s"expected exactly one more eager exchange without the hint: " +
+          s"hinted=$hinted unhinted=$unhinted")
+    } finally ScalableCumulate.endAudit()
   }
 
   test("quantilePicks auto-materializes a derived input (one upstream execution)") {
