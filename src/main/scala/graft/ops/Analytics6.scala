@@ -33,14 +33,15 @@ object Analytics6 {
     // plus their inclusive cum/count metrics reconstruct every class
     // total by pure arithmetic (A = everything before boundary 1; B =
     // between; C = the rest). quantilePicks finds both boundaries with
-    // one bounds job + one map-side partials pass over the materialized
-    // part-revenue relation and windows only the crossing buckets — the
-    // part grain never passes through a full window at any scale. The
-    // boundary row is ONE row, so it is collect()ed under noAqe and the
-    // three class rows are composed on the driver in exact BigDecimal /
-    // Long arithmetic (the agg_mad driver-composed-relation pattern —
-    // the caller then executes a LocalRelation, not a join+window
-    // cascade, cutting the query from ~10 Spark jobs to 5). Empty
+    // ONE map-side partials pass over the persisted part-revenue
+    // relation (a log-scale bucketHint replaces the bounds job) and
+    // windows only the crossing buckets — the part grain never passes
+    // through a full window at any scale. The boundary row is ONE row,
+    // so it is collect()ed under noAqe and the three class rows are
+    // composed on the driver in exact BigDecimal / Long arithmetic (the
+    // agg_mad driver-composed-relation pattern — the caller then
+    // executes a LocalRelation, not a join+window cascade, cutting the
+    // query from ~10 Spark jobs to 2 actions). Empty
     // classes (possible under degenerate skew) are filtered, matching
     // the groupBy form. The 2-decimal rounding of each class total is
     // integer arithmetic ((u+50) div 100 — HALF_UP for the always-
@@ -50,18 +51,30 @@ object Analytics6 {
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         import s.implicits._
-        val rev = ScalableCumulate.materialize(t(s, d, "lineitem")
+        // persist, not materialize, and a log-scale bucketHint instead of
+        // a bounds job: the picks' PARTIALS pass doubles as the cache
+        // fill, so the whole query is two Spark actions — partials+fill,
+        // boundary-pick collect. Bucket id −floor(64·log₂(rev)) is
+        // anti-monotone in revenue (the scan is descending) and needs no
+        // prior knowledge of the range; 1/64-octave bands keep the
+        // crossing-bucket window a sliver of the part grain.
+        val rev = t(s, d, "lineitem")
           .select(col("l_partkey"),
             round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * 10000, 0).cast("long").as("u"))
           .groupBy("l_partkey")
-          .agg(sum("u").cast(DecimalType(38, 0)).as("rev")))
-        val p = ScalableCumulate.noAqe(s)(ScalableCumulate.audited(
-          ScalableCumulate.quantilePicks(rev, col("rev"),
-            Seq(desc("rev"), asc("l_partkey")), col("rev"),
-            Seq((8L, 10L), (95L, 100L)), ascending = false, strict = true,
-            metrics = Seq("cnt" -> lit(1L)), totalName = "w"))
-          .collect())(0)
+          .agg(sum("u").cast(DecimalType(38, 0)).as("rev"))
+          .persist()
+        val p = try {
+          ScalableCumulate.noAqe(s)(ScalableCumulate.audited(
+            ScalableCumulate.quantilePicks(rev, col("rev"),
+              Seq(desc("rev"), asc("l_partkey")), col("rev"),
+              Seq((8L, 10L), (95L, 100L)), ascending = false, strict = true,
+              metrics = Seq("cnt" -> lit(1L)), totalName = "w",
+              bucketHint = Some(
+                -floor(log(2.0, col("rev").cast("double")) * 64))))
+            .collect())(0)
+        } finally { rev.unpersist(); () }
         def dec(n: String) = BigDecimal(p.getAs[java.math.BigDecimal](n))
         val (pick0, cum0, cnt0) = (dec("pick_0"), dec("cum_0"), p.getAs[Long]("cnt_0"))
         val (pick1, cum1, cnt1) = (dec("pick_1"), dec("cum_1"), p.getAs[Long]("cnt_1"))
@@ -339,14 +352,13 @@ object Analytics6 {
     // so the value grain is unbounded — both medians run through
     // ScalableCumulate.quantilePicks (bucket partials over raw rows,
     // driver-exact crossing search, window over one bucket). Round-11
-    // job-count shave — five bounded Spark actions instead of seven,
-    // each exactly ONE job: the projection is persist()ed and one cheap
-    // min/max aggregate doubles as the cache fill; both picks take a
-    // boundsHint (pick 1 a linspace over [min, max], pick 2 a linspace
-    // over [0, max distance to the median] — ANY finite split points are
-    // correct by the hint contract, they only shape bucket sizes, and a
-    // price column has no adversarial value skew to unbalance them);
-    // the picks run under noAqe and are collect()ed rather than head()ed
+    // job-count shave — four bounded Spark actions instead of seven,
+    // each exactly ONE job: the projection is persist()ed, both picks
+    // take a log-scale bucketHint (floor(64·log₂(v+1)) — 1/64-octave
+    // value bands, monotone, no bounds job and no prior knowledge of
+    // the range; hints only shape bucket sizes, never results), so the
+    // first pick's partials pass doubles as the cache fill; the picks
+    // run under noAqe and are collect()ed rather than head()ed
     // (CollectLimit's scale-up retries would re-launch up to three jobs
     // hunting the one constant-key output partition). The first pick is
     // one scalar — the bounded driver-collect class — so the deviation
@@ -358,24 +370,19 @@ object Analytics6 {
           .select(round(col("o_totalprice") * 100, 0).cast("long").as("x"))
           .persist()
         try {
-          val nb = ScalableCumulate.buckets(s)
-          val st = ScalableCumulate.noAqe(s)(ScalableCumulate.audited(o.agg(
-            min(col("x")).as("lo"), max(col("x")).as("hi"),
-            count(when(col("x").isNull, 1)).as("bad"))).head())
-          require(st.getLong(2) == 0L, s"agg_mad: ${st.getLong(2)} null prices")
-          require(!st.isNullAt(0), "agg_mad: empty orders relation")
-          def linspace(a: Double, b: Double): Seq[Double] =
-            if (b <= a) Nil else (1 until nb).map(i => a + (b - a) * i / nb)
-          def pick(df: org.apache.spark.sql.DataFrame, c: String,
-              hint: Seq[Double]) =
+          // log-scale bucketHints need no bounds job at all: the first
+          // pick's PARTIALS pass doubles as the cache fill, so the whole
+          // query is four bounded actions (partials+fill, pick 1,
+          // partials 2, pick 2). dev can be 0, so its bucket id shifts
+          // by one cent (monotone-preserving) to keep log₂ total.
+          def pick(df: org.apache.spark.sql.DataFrame, c: String) =
             ScalableCumulate.noAqe(s)(ScalableCumulate.audited(
               ScalableCumulate.quantilePicks(df, col(c), Seq(col(c)),
-                lit(1L), Seq((1L, 2L)), boundsHint = Some(hint)))
+                lit(1L), Seq((1L, 2L)), bucketHint = Some(
+                  floor(log(2.0, col(c).cast("double") + 1) * 64))))
               .collect())(0).getLong(0)
-          val (lo, hi) = (st.getLong(0), st.getLong(1))
-          val m = pick(o, "x", linspace(lo.toDouble, hi.toDouble))
-          val mad = pick(o.select(abs(col("x") - lit(m)).as("dev")), "dev",
-            linspace(0d, math.max(m - lo, hi - m).toDouble))
+          val m = pick(o, "x")
+          val mad = pick(o.select(abs(col("x") - lit(m)).as("dev")), "dev")
           s.range(1).select((lit(m) / lit(100.0)).as("median_price"),
             (lit(mad) / lit(100.0)).as("mad"))
         } finally { o.unpersist(); () }

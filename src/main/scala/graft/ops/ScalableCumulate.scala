@@ -222,12 +222,18 @@ object ScalableCumulate {
   /** True when re-executing `df`'s plan is as cheap as re-reading its
     * source: only projections and filters over a leaf relation (file scan,
     * LogicalRDD, LocalRelation) — the shapes where predicate/column
-    * pushdown makes each re-scan touch only the needed bytes. Anything
-    * else (join, aggregate, window, generate, union…) does real work per
-    * execution and must be materialized before a multi-action consumer.
+    * pushdown makes each re-scan touch only the needed bytes — or a
+    * persist()ed relation at ANY lineage shape (round-11): re-execution
+    * hits the block cache, and the FIRST consumer job doubles as the
+    * cache fill, which is exactly how agg_abc_class folds its input
+    * materialization into the bounds job instead of paying a separate
+    * checkpoint action. Anything else (an uncached join, aggregate,
+    * window, generate, union…) does real work per execution and must be
+    * materialized before a multi-action consumer.
     */
   private def cheapRescan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
     df.queryExecution.optimizedPlan.collectFirst {
       case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
         !p.isInstanceOf[LeafNode] => p
@@ -379,6 +385,20 @@ object ScalableCumulate {
     * the median for the deviation pick. The NaN/null primary guard that
     * the bounds job carried moves into the partials job (checked before
     * any partial sum is trusted), so hinted calls stay exactly as loud.
+    *
+    * `bucketHint` (round-11, generalizes boundsHint): a caller-supplied
+    * INTEGER bucket-id expression, monotone non-decreasing in `primary`
+    * along the scan direction (so anti-monotone in the raw value when
+    * `ascending = false`) and never null on non-null input. Lets a call
+    * site bucket with arithmetic instead of a split-point fold — e.g.
+    * `-floor(64·log2(rev))` gives 1/64-octave value bands with NO prior
+    * knowledge of the range and no bounds job at all. Equal values
+    * always share a bucket (the id is a pure function of the value), so
+    * the tie argument above is untouched; a distribution concentrated
+    * inside one 2^(1/64) ratio band degenerates to one bucket — the
+    * same near-all-ties case the percentile bounds already accept. The
+    * partials pass carries the NaN/null guard exactly as for
+    * boundsHint. Mutually exclusive with boundsHint.
     */
   def quantilePicks(
       df: DataFrame,
@@ -391,7 +411,8 @@ object ScalableCumulate {
       ascending: Boolean = true,
       strict: Boolean = false,
       metrics: Seq[(String, Column)] = Nil,
-      boundsHint: Option[Seq[Double]] = None): DataFrame = {
+      boundsHint: Option[Seq[Double]] = None,
+      bucketHint: Option[Column] = None): DataFrame = {
     require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
       s"fracs must satisfy 0 < num <= den, got $fracs")
     // strict + num == den is vacuous ("first row strictly over 100% of the
@@ -418,24 +439,29 @@ object ScalableCumulate {
 
     // Job 1: bounds + NaN/null guard (accuracy 1000: bounds only shape
     // bucket sizes, so a cheaper sketch costs nothing in exactness).
-    // Skipped entirely under a boundsHint — the guard then rides the
-    // partials job instead (see __bad below).
+    // Skipped entirely under a bounds/bucket hint — the guard then rides
+    // the partials job instead (see __bad below).
+    require(boundsHint.isEmpty || bucketHint.isEmpty,
+      "quantilePicks: boundsHint and bucketHint are mutually exclusive")
     require(boundsHint.forall(_.forall(b => !b.isNaN && !b.isInfinite)),
       s"quantilePicks: boundsHint must be finite, got $boundsHint")
-    val bounds: Seq[Double] = boundsHint.getOrElse {
-      val qs = (1 until nbv).map(i => i.toDouble / nbv)
-      val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
-      val boundsRow = noAqe(spark)(audited(in.agg(
-        percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
-        count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head())
-      require(boundsRow.getLong(1) == 0L,
-        s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
-      if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
-      else boundsRow.getSeq[Double](0)
-    }
-    val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
-      if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
-      else acc + when(pd < lit(b), 1).otherwise(0)
+    val hinted = boundsHint.isDefined || bucketHint.isDefined
+    val bkt = bucketHint.map(_.cast(IntegerType)).getOrElse {
+      val bounds: Seq[Double] = boundsHint.getOrElse {
+        val qs = (1 until nbv).map(i => i.toDouble / nbv)
+        val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
+        val boundsRow = noAqe(spark)(audited(in.agg(
+          percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
+          count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head())
+        require(boundsRow.getLong(1) == 0L,
+          s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
+        if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
+        else boundsRow.getSeq[Double](0)
+      }
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
+        else acc + when(pd < lit(b), 1).otherwise(0)
+      }
     }
 
     // Job 2: per-(group, bucket) partials (value + row count + metrics) →
@@ -443,13 +469,14 @@ object ScalableCumulate {
     val withB = in.withColumn("__bkt", bkt)
     val keyCols = groupCols.map(col) :+ col("__bkt")
     val mNames = metrics.map(_._1)
-    // Under a boundsHint the bounds job (and its guard) never ran: count
-    // NaN/null primaries here — they'd land in bucket 0 via the when()
-    // fold — and fail loudly BEFORE any partial sum is used. Appended
-    // last so every positional index below is hint-independent.
+    // Under a bounds/bucket hint the bounds job (and its guard) never
+    // ran: count NaN/null primaries here — they'd land in bucket 0 via
+    // the when() fold (or a null bucket under bucketHint) — and fail
+    // loudly BEFORE any partial sum is used. Appended last so every
+    // positional index below is hint-independent.
     val partAggs = (sum(value).as("__s") +: count(lit(1)).as("__n") +:
       metrics.map { case (n, c) => sum(c).as(s"__sm_$n") }) ++
-      (if (boundsHint.isDefined)
+      (if (hinted)
          Seq(count(when(pd.isNull || isnan(pd), 1)).as("__bad"))
        else Nil)
     val part = withB.groupBy(keyCols: _*).agg(partAggs.head, partAggs.tail: _*)
@@ -458,9 +485,14 @@ object ScalableCumulate {
     zero(partSchema("__s").dataType) // reject non-exact partial types
     mNames.foreach(n => zero(partSchema(s"__sm_$n").dataType))
     val partRows = noAqe(spark)(audited(part).collect())
-    if (boundsHint.isDefined) {
+    if (hinted) {
       val bad = partRows.map(_.getLong(partSchema.size - 1)).sum
       require(bad == 0L, s"quantilePicks: $bad NaN/null primary keys")
+      // a null bucket id (a bucketHint expression that nulls on non-null
+      // input) would crash getInt below with a misleading error — name it
+      require(partRows.forall(!_.isNullAt(ng)),
+        "quantilePicks: bucketHint produced a NULL bucket id on non-null " +
+          "primary input — the hint expression must be total")
     }
     val byGroup: Map[Seq[Any], Array[Row]] =
       partRows.groupBy(r => (0 until ng).map(r.get).toSeq)

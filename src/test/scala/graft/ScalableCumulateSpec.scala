@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -250,23 +251,32 @@ class ScalableCumulateSpec extends AnyFunSuite {
       val expected: Map[String, Long] =
         if (grouped) rows.groupBy(_._1).map { case (g, rs) => g -> ref(rs) }
         else Map("" -> ref(rows))
-      // boundsHint axis (round-11): a separate RNG so the primary draw
-      // stream is untouched. ~half the trials pass ARBITRARY split points
-      // (wrong range, duplicates, unsorted — anything finite); the hint
-      // contract says bounds only shape bucket sizes, so every pick must
-      // still equal the reference fold bit-for-bit.
+      // bounds/bucket hint axis (round-11): a separate RNG so the primary
+      // draw stream is untouched. A third of trials pass ARBITRARY split
+      // points (wrong range, duplicates, unsorted — anything finite),
+      // a third pass a monotone integer bucketHint expression (coarse
+      // integer division of x, direction-matched), a third no hint; the
+      // hint contract says hints only shape bucket sizes, so every pick
+      // must still equal the reference fold bit-for-bit.
       val rnd2 = new scala.util.Random(trial * 7919)
-      val hint: Option[Seq[Double]] =
-        if (rnd2.nextBoolean()) None
-        else Some(Seq.fill(rnd2.nextInt(6))(
-          rnd2.nextDouble() * 200 - 50 * rnd2.nextInt(3)))
+      val (boundsH, bucketH): (Option[Seq[Double]], Option[Column]) =
+        rnd2.nextInt(3) match {
+          case 0 => (None, None)
+          case 1 => (Some(Seq.fill(rnd2.nextInt(6))(
+            rnd2.nextDouble() * 200 - 50 * rnd2.nextInt(3))), None)
+          case _ =>
+            val k = 1 + rnd2.nextInt(17) // bucket width: 1 (id = value!) .. 17
+            val raw = floor(col("x") / k)
+            (None, Some(if (asc) raw else -raw))
+        }
       spark.conf.set("spark.graft.cumulate.buckets", nb.toString)
       try {
         val ord = if (asc) col("x").asc else col("x").desc
         val picks = ScalableCumulate.quantilePicks(rows.toDF("g", "x", "w"),
           col("x"), Seq(ord), col("w"), Seq((num, den)),
           groupCols = if (grouped) Seq("g") else Nil,
-          ascending = asc, strict = strict, boundsHint = hint)
+          ascending = asc, strict = strict, boundsHint = boundsH,
+          bucketHint = bucketH)
         val label = s"trial $trial: n=$n dist=$dist frac=$num/$den nb=$nb " +
           s"asc=$asc strict=$strict grouped=$grouped"
         if (grouped) {
@@ -505,6 +515,20 @@ class ScalableCumulateSpec extends AnyFunSuite {
         boundsHint = Some(Seq(Double.NaN)))
     }
     assert(nan.getMessage.contains("finite"), nan.getMessage)
+    val both = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(Seq(1.0).toDF("x"), col("x"),
+        Seq(col("x")), lit(1L), Seq((1L, 2L)),
+        boundsHint = Some(Seq(1.0)), bucketHint = Some(col("x")))
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    // a bucketHint that nulls on non-null input (here: log of a
+    // non-positive value) is named loudly, not crashed on
+    val nullBkt = intercept[IllegalArgumentException] {
+      ScalableCumulate.quantilePicks(Seq(-4.0, 2.0).toDF("x"), col("x"),
+        Seq(col("x")), lit(1L), Seq((1L, 2L)),
+        bucketHint = Some(floor(log(2.0, col("x")))))
+    }
+    assert(nullBkt.getMessage.contains("NULL bucket id"), nullBkt.getMessage)
     // the bounds ACTION is really gone under a hint: the hidden-shuffle
     // ledger charges every eager helper job, so a hinted build records
     // one exchange (partials) where an unhinted one records two
