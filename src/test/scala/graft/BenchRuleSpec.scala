@@ -12,9 +12,10 @@ class BenchRuleSpec extends AnyFunSuite {
       spin0: Double = 70, mtspin0: Double = 90,
       spin1: Double = 70, mtspin1: Double = 90,
       loadAtMax: Double = 5, cores: Int = 32,
-      calibMedSweep: Double = 0.15) =
+      calibMedSweep: Double = 0.15,
+      bandMedRatio: Double = 1.0, bandN: Int = 323) =
     Bench.distortionVerdict(calib0, calib1, spin0, mtspin0, spin1, mtspin1,
-      loadAtMax, cores, calibMedSweep)
+      loadAtMax, cores, calibMedSweep, bandMedRatio, bandN)
 
   test("a genuinely quiet run is not flagged") {
     // round-11 measured quiet-host shape: calib ~0.06-0.20, mtspin/spin
@@ -77,6 +78,42 @@ class BenchRuleSpec extends AnyFunSuite {
     val orphans = Bench.quietBand.keySet -- declared
     assert(orphans.isEmpty, s"bench_band.tsv rows with no declared query: $orphans")
     assert(Bench.quietBand.size >= 300, "bench_band.tsv went missing/empty")
+  }
+
+  test("the exact r11 driver fingerprint is distorted via the band clause") {
+    // BENCH_r11 (driver): calib 0.273/0.118, calib_med_sweep 0.363,
+    // spin 84.4/89.3, mtspin 106.6/107.9, load_at_max 17.72 on 32 cores,
+    // band_median_ratio 1.75 over 323 band rows. Every pre-r12 clause
+    // passed (calib_med 0.363 < 0.50 hard line) and the artifact shipped
+    // `distorted: false` at 215.1 s — a provably degraded measurement
+    // (judge-quiet same code: 121.9 s; 215.1/1.75 ≈ 123). The sustained
+    // uniform band elevation is now a hard clause.
+    val (d, c) = verdict(calib0 = 0.273, calib1 = 0.118,
+      spin0 = 84.4, mtspin0 = 106.6, spin1 = 89.3, mtspin1 = 107.9,
+      loadAtMax = 17.72, cores = 32, calibMedSweep = 0.363,
+      bandMedRatio = 1.75, bandN = 323)
+    assert(d && c.contains("band=true"), c)
+    assert(!c.contains("calib=true") && !c.contains("spin=true") &&
+      !c.contains("load=true"),
+      s"only the band clause should fire on this fingerprint: $c")
+  }
+
+  test("band clause: quiet runs and small sweeps never trip it") {
+    // r11 judge-clean fingerprint: ratio 1.05 over 323 rows — quiet
+    assert(!verdict(calib0 = 0.165, calib1 = 0.061, calibMedSweep = 0.156,
+      bandMedRatio = 1.05, bandN = 323)._1)
+    // sub-1.5 median with a quiet anchor: advisory only, not distorted
+    assert(!verdict(bandMedRatio = 1.49, bandN = 323)._1)
+    // 1.4-1.5 median trips ONLY with the anchor also elevated (two
+    // independent witnesses of the same sustained contention)
+    assert(verdict(bandMedRatio = 1.45, bandN = 323,
+      calibMedSweep = 1.4 * Bench.CalibQuietS)._1)
+    assert(!verdict(bandMedRatio = 1.39, bandN = 323,
+      calibMedSweep = 1.4 * Bench.CalibQuietS)._1)
+    // a sweep with too few band rows (new-query churn, non-sf0.1 dir)
+    // cannot use the clause — the median is not robust at small n
+    assert(!verdict(bandMedRatio = 3.0, bandN = 99)._1)
+    assert(verdict(bandMedRatio = 1.5, bandN = 100)._1)
   }
 
   test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
