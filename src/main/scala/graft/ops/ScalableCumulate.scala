@@ -269,6 +269,10 @@ object ScalableCumulate {
     * the same bucket, so ordering is never violated). `ascending` must match
     * the sort direction of `primary` inside `orderCols`. Inputs are assumed
     * non-null in `primary` (every call site cumulates over non-null keys).
+    *
+    * Not safe to run concurrently with other queries on the SAME
+    * SparkSession — see the CONCURRENCY note on [[quantilePicks]] (the
+    * eager helper jobs toggle the shared session's AQE conf).
     */
   def cumSum(
       df: DataFrame,
@@ -399,6 +403,17 @@ object ScalableCumulate {
     * same near-all-ties case the percentile bounds already accept. The
     * partials pass carries the NaN/null guard exactly as for
     * boundsHint. Mutually exclusive with boundsHint.
+    *
+    * CONCURRENCY (round-11 advice #2): the eager helper jobs run under
+    * [[noAqe]], which toggles `spark.sql.adaptive.enabled` on the SHARED
+    * session conf for their duration. A concurrent query executing on
+    * the same SparkSession inside that window would plan without AQE (or
+    * race on the restore). Call sites must not run quantilePicks /
+    * cumSum / rowNumber concurrently with other work on one session —
+    * the library's own surfaces (Verify, Bench, sbt suites) are
+    * sequential by construction; a multi-tenant caller should use a
+    * separate session per thread (`spark.newSession()` shares the
+    * SparkContext but isolates the conf).
     */
   def quantilePicks(
       df: DataFrame,
@@ -446,7 +461,16 @@ object ScalableCumulate {
     require(boundsHint.forall(_.forall(b => !b.isNaN && !b.isInfinite)),
       s"quantilePicks: boundsHint must be finite, got $boundsHint")
     val hinted = boundsHint.isDefined || bucketHint.isDefined
-    val bkt = bucketHint.map(_.cast(IntegerType)).getOrElse {
+    // Bucket ids stay LONG end-to-end (round-11 advice #1): a cast to
+    // IntegerType under non-ANSI semantics silently WRAPS a hint
+    // expression whose ids exceed Int range, breaking the documented
+    // monotone-bucket contract with no loud failure — and the wrap
+    // happens executor-side BEFORE grouping, so no driver-side range
+    // check on collected ids could catch it. LongType makes the wrap
+    // impossible for any practical hint (a Long-overflowing bucket
+    // arithmetic would first overflow in the caller's own expression);
+    // the unhinted fold produces 0..NB ints, losslessly widened.
+    val bkt = bucketHint.map(_.cast(LongType)).getOrElse {
       val bounds: Seq[Double] = boundsHint.getOrElse {
         val qs = (1 until nbv).map(i => i.toDouble / nbv)
         val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
@@ -458,7 +482,7 @@ object ScalableCumulate {
         if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
         else boundsRow.getSeq[Double](0)
       }
-      bounds.foldLeft(lit(0)) { (acc, b) =>
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
         if (ascending) acc + when(lit(b) < pd, 1).otherwise(0)
         else acc + when(pd < lit(b), 1).otherwise(0)
       }
@@ -550,7 +574,7 @@ object ScalableCumulate {
     val mDts = mNames.map(n => partSchema(s"__sm_$n").dataType)
     val auxRows = mutable.ArrayBuffer.empty[Row]
     for ((gkey, grs) <- byGroup) {
-      val sorted = grs.sortBy(_.getInt(ng))
+      val sorted = grs.sortBy(_.getLong(ng))
       val zeroV = zero(sDt)
       // a bucket whose values are all null sums to null — treat as zero
       // contribution, matching SQL sum semantics in the prefix fold
@@ -574,13 +598,13 @@ object ScalableCumulate {
       }
       for (i <- sorted.indices if crossing.contains(i))
         auxRows += Row.fromSeq(gkey ++
-          Seq(sorted(i).getInt(ng), offs(i), rnOffs(i)) ++
+          Seq(sorted(i).getLong(ng), offs(i), rnOffs(i)) ++
           mSeries.map(_._2(i)) ++ Seq(w) ++ mSeries.map(_._3) ++
           fracs.indices.map(f => crossing(f) == i))
     }
     val auxSchema = StructType(
       groupCols.map(g => partSchema(g)) ++
-        Seq(StructField("__bkt", IntegerType, nullable = false),
+        Seq(StructField("__bkt", LongType, nullable = false),
           StructField("__off", sDt),
           StructField("__rnoff", LongType, nullable = false)) ++
         mNames.zip(mDts).map { case (n, dt) => StructField(s"__moff_$n", dt) } ++

@@ -529,6 +529,17 @@ class ScalableCumulateSpec extends AnyFunSuite {
         bucketHint = Some(floor(log(2.0, col("x")))))
     }
     assert(nullBkt.getMessage.contains("NULL bucket id"), nullBkt.getMessage)
+    // bucket ids beyond Int range (round-11 advice #1): ids are kept LONG
+    // end-to-end, so a hint whose ids exceed Int.MaxValue buckets exactly
+    // — the old cast(IntegerType) would wrap them executor-side (e.g.
+    // 5e9+1 → negative, 5e9+2 → more negative but CROSSING sign for some
+    // pairs), silently breaking the monotone-bucket contract.
+    val wide = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("x")
+    val bigHint = (col("x") + lit(5000000000L)).cast("long")
+    val pw = ScalableCumulate.quantilePicks(wide, col("x"), Seq(col("x")),
+      lit(1L), Seq((1L, 2L)), bucketHint = Some(bigHint))
+    assert(pw.select("pick_0").head().getLong(0) == 3L,
+      "out-of-Int-range bucket ids must still pick exactly")
     // the bounds ACTION is really gone under a hint: the hidden-shuffle
     // ledger charges every eager helper job, so a hinted build records
     // one exchange (partials) where an unhinted one records two
