@@ -31,8 +31,9 @@ object Bench {
     "sim_lsh_approx", "mm_decode_real",
     // MLlib MinHashLSH fit + per-side transform fixed pipeline cost
     "dedup_minhash_lsh",
-    // WITH RECURSIVE iterative-execution fixed cost (one job per step)
-    "sql_recursive_cte",
+    // sql_recursive_cte left this list in round 12: anchoring the
+    // recursion on literal bounds (one eager scan-agg instead of a
+    // per-step re-aggregate) cut it 53 jobs/2.6 s → 4 jobs/0.45 s steady
     // ten fixed PageRank rounds: per-round job + localCheckpoint overhead
     // dominates on the tiny contracted graph (same class as cc_labelprop)
     "graph_pagerank")

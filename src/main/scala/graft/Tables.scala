@@ -23,9 +23,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, sfDir, table) reader memo. `spark.read.parquet` runs a
+    * schema-inference/file-listing job on every call (~30 ms; JobProf
+    * showed 10 of them per `registerAll`, a fixed tax on every sql_*
+    * query execution). The testdata tables are immutable fixtures, so the
+    * resolved DataFrame — schema AND file index — is reusable for the
+    * life of the session; at 100 TB the same holds for any immutable
+    * snapshot dir, and a mutable source should go through a catalog
+    * table, not this helper. Keyed on session identity so multi-JVM /
+    * multi-session runs never share state; bounded (sessions × sfDirs ×
+    * 10 tables).
+    */
+  private val readerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    readerMemo.computeIfAbsent((spark, sfDir, name), _ =>
+      if (name == "events") eventsFresh(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.ts` precision has varied across testdata generations:
     * nanosecond-precision parquet (which Spark's vectorized reader refuses —
@@ -37,7 +52,10 @@ object Tables {
     * surfaces the column as a µs TIMESTAMP either way, so both engines see
     * bit-identical values.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+
+  private def eventsFresh(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     df.schema("ts").dataType match {
