@@ -90,6 +90,15 @@ object ScalableCumulate {
     override def initialValue(): Int = 0
   }
 
+  /** Observability seam for ScaleSpec (round-11 verdict #6): row count of
+    * the most recent quantilePicks partials collect on this JVM. The
+    * 100 TB argument for the pick machinery is that the driver collect is
+    * O(NB·|groups|) — independent of input rows — and this counter lets a
+    * test MEASURE that (flat at 1× vs 10× data; bytes = rows × fixed
+    * schema width). Diagnostic only: never read by query logic.
+    */
+  @volatile private[graft] var lastPartialsRows: Int = -1
+
   /** Thread that currently owns an open audit window (null = no audit
     * active). The ledger is thread-local, so an audited plan built on a
     * DIFFERENT thread than the `resetHiddenShuffles()` caller would
@@ -509,6 +518,7 @@ object ScalableCumulate {
     zero(partSchema("__s").dataType) // reject non-exact partial types
     mNames.foreach(n => zero(partSchema(s"__sm_$n").dataType))
     val partRows = noAqe(spark)(audited(part).collect())
+    lastPartialsRows = partRows.length
     if (hinted) {
       val bad = partRows.map(_.getLong(partSchema.size - 1)).sum
       require(bad == 0L, s"quantilePicks: $bad NaN/null primary keys")

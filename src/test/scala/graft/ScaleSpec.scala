@@ -92,4 +92,56 @@ class ScaleSpec extends AnyFunSuite {
     // release the fixture corpora's pinned storage
     ops.LlmOps.unpersistAll(s)
   }
+
+  test("quantilePicks driver collect stays O(NB·groups) flat to 10x data") {
+    // Round-11 verdict #6: the r11-touched pick hot path had no measured
+    // scale curve, unlike dedup. The 100 TB viability claim is that the
+    // ONLY driver-side materialization is the per-(group, bucket)
+    // partials collect — O(NB·|groups|), independent of input rows. This
+    // measures it: a 10× row-replicated input (same values ⇒ same bucket
+    // set, same weighted quantiles) must produce (a) identical picks and
+    // (b) a partials collect of the SAME row count as the 1× input —
+    // while the scanned rows grow 10×. A per-row driver leak (the
+    // anti-pattern the machinery exists to avoid) would read ~10×.
+    import s.implicits._
+    import ops.ScalableCumulate
+    val groups = 7
+    val nb = 32
+    def input(rep: Int): DataFrame = {
+      // deterministic synthetic: 60k base rows, heavy value ties, weights
+      // 1..5; `rep` concatenates value-identical copies (weighted
+      // quantiles are invariant under uniform replication)
+      val base = s.range(0, 60000).select(
+        (col("id") % groups).cast("string").as("g"),
+        ((col("id") * 2654435761L) % 100000).as("x"),
+        (col("id") % 5 + 1).as("w"))
+      (1 to rep).map(_ => base).reduce(_.unionByName(_))
+    }
+    s.conf.set("spark.graft.cumulate.buckets", nb.toString)
+    def run(rep: Int): (Map[String, Long], Int, Long) = {
+      val df = input(rep).persist() // cheapRescan: first job fills cache
+      try {
+        val picks = ScalableCumulate.quantilePicks(df, col("x"),
+          Seq(col("x").asc, col("g").asc), col("w"),
+          Seq((1L, 2L), (95L, 100L)), groupCols = Seq("g"))
+          .select(col("g"), col("pick_0"), col("pick_1")).collect()
+          .map(r => r.getString(0) -> (r.getLong(1) * 1000000 + r.getLong(2)))
+          .toMap
+        (picks, ScalableCumulate.lastPartialsRows, df.count())
+      } finally { df.unpersist(); () }
+    }
+    try {
+      val (p1, partials1, rows1) = run(1)
+      val (p10, partials10, rows10) = run(10)
+      info(s"1x: rows=$rows1 partials=$partials1; " +
+        s"10x: rows=$rows10 partials=$partials10 (bound=${groups * (nb + 1)})")
+      assert(rows10 == 10 * rows1)
+      assert(p10 == p1, "replication-invariant picks must be identical")
+      assert(partials1 > 0 && partials1 <= groups * (nb + 1),
+        s"partials exceed the O(NB·|groups|) bound: $partials1")
+      assert(partials10 == partials1,
+        s"driver collect grew with data size ($partials1 → $partials10) — " +
+          "the pick machinery is leaking per-row state to the driver")
+    } finally s.conf.unset("spark.graft.cumulate.buckets")
+  }
 }

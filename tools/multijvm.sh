@@ -11,7 +11,13 @@ cd "$(dirname "$0")/.."
 # directories and aborts ("Cannot find any build directories")
 export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
 export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
-sbt -batch -error "runMain graft.MultiJvmSmoke ${1:-/root/testdata/sf0.001}" 2>&1 \
+# usage: tools/multijvm.sh [sfDir] [--all]
+#   --all runs the FULL declared board (324 queries) instead of the
+#   34-query mechanism slice — the per-round gate; the slice is the
+#   fast per-change loop.
+SF="${1:-/root/testdata/sf0.001}"
+MODE="${2:-}"
+sbt -batch -error "runMain graft.MultiJvmSmoke $SF $MODE" 2>&1 \
   | grep "\[multijvm\]"
 # localCheckpoint fault drill: hard-kill one executor after materialize(),
 # assert loud failure or retry-correct — never silent-wrong rows
