@@ -577,6 +577,72 @@ object LlmOps {
                  UNION
                  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
                SELECT s AS doc_id, min(t) AS component_id
-               FROM reach GROUP BY s ORDER BY s"""))
+               FROM reach GROUP BY s ORDER BY s""")),
+
+    // INCREMENTAL dedup (round 12) — the crawl-pipeline shape none of the
+    // other dedups have: an INCOMING batch (docs with id ≥ 80% of max —
+    // the newest slice) is deduped AGAINST the accepted corpus (everything
+    // older), asymmetrically: for each new doc, how many old docs does it
+    // near-duplicate (Jaccard ≥ 0.9) and which is the earliest? This is
+    // the filter an ingestion pipeline runs on every crawl delta. The
+    // implementation stays at token-SET grain: per set, split `members`
+    // into old/new by the threshold (one array filter over the CACHED
+    // groups relation — members are sorted, so element_at(·, 1) IS the
+    // min); a new doc's old matches are its own set's old members
+    // (jaccard 1.0) plus the old members of every ≥0.9-neighbor set
+    // (doc-pair jaccard = set-pair jaccard), aggregated with one join +
+    // one hash-agg over the memoized verified pair relation. At 100 TB
+    // the incremental form would index ONLY the accepted corpus (build
+    // the prefix/band index once, stream each crawl delta against it —
+    // strictly cheaper than the symmetric self-join); here the batch is a
+    // slice of the same corpus, so the memoized symmetric relation is the
+    // cheaper reuse. The threshold is derived from max(doc_id) by exact
+    // integer arithmetic on both engines; the eager 1-row max() is
+    // budget-charged via the audited seam.
+    Spec("dedup_incremental",
+      (s, d) => {
+        val thr = ScalableCumulate.audited(
+          t(s, d, "documents").agg(max("doc_id").as("mx")))
+          .head().getLong(0) * 8 / 10
+        val g = tokenSetGroups(s, d).select(
+          col("set_id"),
+          filter(col("members"), m => m < lit(thr)).as("olds"),
+          filter(col("members"), m => m >= lit(thr)).as("news"))
+          .select(col("set_id"), col("news"),
+            size(col("olds")).cast("long").as("n_old"),
+            when(size(col("olds")) > 0, element_at(col("olds"), 1))
+              .as("min_old"))
+        val sp = minhashSetPairs(s, d)
+        val sym = sp.select(col("sa").as("sid"), col("sb").as("nb"))
+          .unionByName(sp.select(col("sb").as("sid"), col("sa").as("nb")))
+        val nbAgg = sym.join(
+            g.select(col("set_id").as("nb"), col("n_old").as("nb_n"),
+              col("min_old").as("nb_min")), "nb")
+          .groupBy("sid")
+          .agg(sum("nb_n").as("cross_n"), min("nb_min").as("cross_min"))
+        g.where(size(col("news")) > 0)
+          .join(nbAgg, col("set_id") === col("sid"), "left")
+          .select(explode(col("news")).as("doc_id"),
+            (col("n_old") + coalesce(col("cross_n"), lit(0L)))
+              .as("n_matches"),
+            // least() skips nulls on both engines' Spark side; the oracle
+            // states min(od) over the match relation instead, same value
+            least(col("min_old"), col("cross_min")).as("min_match_id"))
+          .where(col("n_matches") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${pairCte("")},
+               thr AS (SELECT max(doc_id) * 8 // 10 AS t FROM documents),
+               m AS (
+                 SELECT CASE WHEN d1 >= (SELECT t FROM thr) THEN d1 ELSE d2
+                        END AS doc_id,
+                        CASE WHEN d1 >= (SELECT t FROM thr) THEN d2 ELSE d1
+                        END AS od
+                 FROM j
+                 WHERE jaccard >= 0.9
+                   AND ((d1 < (SELECT t FROM thr)) <>
+                        (d2 < (SELECT t FROM thr))))
+               SELECT doc_id, count(*) AS n_matches, min(od) AS min_match_id
+               FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
