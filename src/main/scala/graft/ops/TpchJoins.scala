@@ -181,29 +181,38 @@ object TpchJoins {
                  JOIN customer ON c_custkey = o_custkey
                ORDER BY o_orderkey""")),
 
-    // TPC-H Q21 shape (suppliers who kept the order waiting): EXISTS +
-    // NOT-EXISTS correlated pair decorrelated into LEFT-SEMI + LEFT-ANTI
-    // self-joins on the fact — the relational form Catalyst itself targets
-    // for [NOT] EXISTS. "Fault" is l_returnflag = 'R' (this dataset has no
-    // commit/receipt dates); the semi requires ANOTHER supplier on the
-    // order, the anti requires NO OTHER faulty supplier. Both sides
-    // deduplicate to (order, supplier) grain FIRST, so the self-joins
-    // carry key-pairs, not full rows — at 100 TB that's two co-keyed
-    // shuffles on l_orderkey, AQE-planned, then a broadcast supplier dim.
+    // TPC-H Q21 shape (suppliers who kept the order waiting). "Fault" is
+    // l_returnflag = 'R' (this dataset has no commit/receipt dates); the
+    // EXISTS requires ANOTHER supplier on the order, the NOT EXISTS
+    // requires no OTHER faulty supplier. Round 12: the semi + anti
+    // self-join decorrelation (three fact shuffles + two joins) is
+    // replaced by the ALGEBRAIC form — the quantifier pair is a
+    // per-order cardinality condition: a faulty (order, supplier) pair
+    // is blamed iff the order has > 1 distinct suppliers AND exactly 1
+    // faulty supplier (which is then necessarily this pair's). Two
+    // chained aggregates: (order, supplier) grain with a faulty flag
+    // (map-side combine compresses the fact to pair grain BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // fact three times and once), then order grain computing
+    // (n_supp, n_faulty, the unique faulty supplier via min-when), a
+    // filter, and a broadcast supplier dim. JobProf: 9 jobs/1.6 s →
+    // 4 jobs/0.6 s steady at sf0.1. The oracle keeps the EXISTS/NOT
+    // EXISTS text — it documents the quantifier semantics this algebra
+    // must reproduce.
     Spec("join_q21_blame",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val pairs = li.select("l_orderkey", "l_suppkey").distinct()
-        val faulty = li.where(col("l_returnflag") === "R")
-          .select("l_orderkey", "l_suppkey").distinct()
-        val others = pairs.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
-        val faultyOthers = faulty.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
-        val blamed = faulty
-          .join(others, col("l_orderkey") === col("o2_key") &&
-            col("l_suppkey") =!= col("s2_key"), "leftsemi")
-          .join(faultyOthers, col("l_orderkey") === col("o3_key") &&
-            col("l_suppkey") =!= col("s3_key"), "leftanti")
-        blamed.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        val ps = li.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .as("faulty"))
+        val og = ps.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum("faulty").as("n_faulty"),
+            min(when(col("faulty") === 1, col("l_suppkey")))
+              .as("faulty_supp"))
+          .where(col("n_supp") > 1 && col("n_faulty") === 1)
+        og.join(broadcast(t(s, d, "supplier")),
+            col("faulty_supp") === col("s_suppkey"))
           .groupBy("s_suppkey", "s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy("s_suppkey")
