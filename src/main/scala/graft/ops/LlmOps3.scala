@@ -162,8 +162,12 @@ object LlmOps3 {
     // exact per-lang counts — no second pass. ≤ C(5,2) output rows.
     Spec("text_lang_overlap",
       (s, d) => {
+        // array_distinct pre-dedups per DOC before the explode (free,
+        // per-row) so the cross-doc distinct's shuffle carries each
+        // doc's vocabulary once, not its token stream (round 12)
         val lt = t(s, d, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .select(col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
           .distinct()
         val sizes = lt.groupBy("lang").agg(count(lit(1)).as("nv"))
         val inter = lt.as("a").join(lt.as("b"),
@@ -201,9 +205,13 @@ object LlmOps3 {
     // 1-row doc-count broadcast is the text_tfidf_topk decorrelation.
     Spec("text_token_lift",
       (s, d) => {
+        // per-doc token dedup is (doc_id, token)-distinct BY DEFINITION,
+        // so array_distinct before the explode replaces a full-stream
+        // distinct SHUFFLE with per-row work (round 12; dt is consumed
+        // twice — dfreq and the join probe — so the saving doubles)
         val dt = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
         val dfreq = dt.groupBy("token").agg(count(lit(1)).as("c"))
           .orderBy(desc("c"), asc("token")).limit(20)
         val top = dt.join(broadcast(dfreq), "token")
