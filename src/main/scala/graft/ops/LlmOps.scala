@@ -64,8 +64,11 @@ object LlmOps {
     val cand = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
       .where(col("d1") < col("d2"))
-    // exact re-verification over token SETS, candidates only
-    val tk = bounded(toks(s, d)).select("doc_id", "token").distinct()
+    // exact re-verification over token SETS, candidates only; per-doc
+    // array_distinct replaces the (doc_id, token) distinct shuffle —
+    // identical relation, per-row work (round 12)
+    val tk = bounded(t(s, d, "documents")).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
     val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     cand
       .join(tk.select(col("doc_id").as("d1"), col("token")), "d1")
@@ -387,8 +390,10 @@ object LlmOps {
     // at any corpus size); the unbounded scale path is dedup_minhash_lsh.
     Spec("dedup_near_shingle",
       (s, d) => {
-        val tk = toks(s, d).where(col("doc_id") < 200)
-          .select("doc_id", "token").distinct()
+        // per-doc array_distinct ≡ (doc_id, token) distinct, no shuffle
+        val tk = t(s, d, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
         val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
         val pairs = tk.select(col("doc_id").as("d1"), col("token"))
           .join(tk.select(col("doc_id").as("d2"), col("token")), "token")
