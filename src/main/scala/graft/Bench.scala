@@ -136,8 +136,22 @@ object Bench {
     // sustained contention.
     val bandBad = bandN >= 100 && (bandMedRatio >= 1.5 ||
       (calibMedSweep > 1.3 * CalibQuietS && bandMedRatio >= 1.4))
-    (calibBad || spinBad || loadBad || bandBad,
-      s"calib=$calibBad spin=$spinBad load=$loadBad band=$bandBad")
+    // Direct-evidence override (round 12): the spins and load are
+    // PROXIES for "the per-query numbers are distorted"; the per-query
+    // band median is the direct measurement of that same question. When
+    // the sweep demonstrably ran at band speed (median ≤ 1.1 over ≥ 100
+    // rows — a uniformly degraded host CANNOT produce that, the median
+    // moves by construction) and the known-work anchor concurs, a
+    // single-endpoint spin/load trip is definitionally a false positive
+    // (observed: a start mtspin of 2.59× from the previous JVM's
+    // shutdown residue flagged a 77 s sweep whose ratio read 0.93 with
+    // zero queries over 2× band). With no band coverage (non-sf0.1 dir,
+    // bandN < 100) the proxies stand un-overridden.
+    val sweepQuiet = bandN >= 100 && bandMedRatio > 0 &&
+      bandMedRatio <= 1.1 && !calibBad
+    (calibBad || bandBad || ((spinBad || loadBad) && !sweepQuiet),
+      s"calib=$calibBad spin=$spinBad load=$loadBad band=$bandBad " +
+        s"sweepQuietOverride=$sweepQuiet")
   }
 
   /** Per-query quiet-host band: steady seconds from a clean quiet-host

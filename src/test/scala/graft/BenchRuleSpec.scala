@@ -38,12 +38,18 @@ class BenchRuleSpec extends AnyFunSuite {
   }
 
   test("parallel-spin and load clauses still fire independently") {
-    val (d1, c1) = verdict(mtspin0 = 300, spin0 = 70)
+    // without band coverage (bandN = 0) the proxies are the only
+    // evidence and stand un-overridden; with a quiet band they defer to
+    // the direct measurement (see the override test below)
+    val (d1, c1) = verdict(mtspin0 = 300, spin0 = 70, bandN = 0)
     assert(d1 && c1.contains("spin=true"), c1)
-    val (d2, c2) = verdict(mtspin1 = 300, spin1 = 70)
+    val (d2, c2) = verdict(mtspin1 = 300, spin1 = 70, bandN = 0)
     assert(d2 && c2.contains("spin=true"), c2)
-    val (d3, c3) = verdict(loadAtMax = 60, cores = 32)
+    val (d3, c3) = verdict(loadAtMax = 60, cores = 32, bandN = 0)
     assert(d3 && c3.contains("load=true"), c3)
+    // an elevated-but-sub-1.5 band (no hard band trip) also lets the
+    // proxies stand — only a demonstrably QUIET sweep overrides
+    assert(verdict(mtspin0 = 300, spin0 = 70, bandMedRatio = 1.2)._1)
   }
 
   test("sustained mid-sweep contention trips the in-sweep median clause") {
@@ -116,11 +122,37 @@ class BenchRuleSpec extends AnyFunSuite {
     assert(verdict(bandMedRatio = 1.5, bandN = 100)._1)
   }
 
+  test("quiet-sweep direct evidence overrides a proxy spin/load trip") {
+    // round-12 field case: a start mtspin of 193.9 vs spin 75 (2.59x —
+    // JVM shutdown residue from a run that ended ~30 s earlier) flagged
+    // a 77 s sweep whose band median read 0.93 over 311 rows with ZERO
+    // queries over 2x band. The band is the DIRECT measurement of
+    // per-query distortion; when it says quiet (≤1.1 median, ≥100 rows)
+    // and the calib anchor concurs, the proxy trip is a false positive.
+    val (d, c) = verdict(spin0 = 75.0, mtspin0 = 193.9,
+      calib0 = 0.243, calib1 = 0.064, calibMedSweep = 0.173,
+      bandMedRatio = 0.93, bandN = 311)
+    assert(!d && c.contains("sweepQuietOverride=true"), c)
+    // no band coverage (non-sf0.1 dir) => the proxy stands
+    assert(verdict(spin0 = 75.0, mtspin0 = 193.9, bandMedRatio = 0.0,
+      bandN = 0)._1)
+    // an elevated sweep never rescues: same spin trip at ratio 1.2
+    assert(verdict(spin0 = 75.0, mtspin0 = 193.9, bandMedRatio = 1.2,
+      bandN = 311)._1)
+    // a calib-bad run never rescues regardless of band
+    assert(verdict(calib0 = 3.1 * Bench.CalibQuietS, bandMedRatio = 0.93,
+      bandN = 311)._1)
+    // the round-11 live fire-drill (24 spinners, sf0.001 => bandN 0)
+    // still flags via spin+load exactly as shipped
+    assert(verdict(mtspin0 = 207, spin0 = 70, loadAtMax = 26.1, cores = 8,
+      bandMedRatio = 0.0, bandN = 0)._1)
+  }
+
   test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
     assert(!verdict(calib0 = 3 * Bench.CalibQuietS)._1,
       "exactly 3x band must not flag (threshold is strict >)")
     assert(verdict(calib0 = 3 * Bench.CalibQuietS + 1e-9)._1)
-    assert(!verdict(mtspin0 = 2.5 * 70, spin0 = 70)._1)
-    assert(verdict(mtspin0 = 2.5 * 70 + 0.1, spin0 = 70)._1)
+    assert(!verdict(mtspin0 = 2.5 * 70, spin0 = 70, bandN = 0)._1)
+    assert(verdict(mtspin0 = 2.5 * 70 + 0.1, spin0 = 70, bandN = 0)._1)
   }
 }
