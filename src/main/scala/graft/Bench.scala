@@ -242,8 +242,28 @@ object Bench {
       val r = spark.read.parquet(s"$sfDir/region.parquet")
       r.join(r.select(r.col("r_regionkey")), "r_regionkey").count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val (load0, gc0, spin0, mtspin0) = sentinel()
-    val calib0 = calib(spark)
+    // Settle guard (round 12): a sweep started while the host is still
+    // digesting prior work (observed: a JVM that exited 30 s earlier
+    // left mtspin at 2.6× and the first alphabetical block ~1.5×
+    // elevated, flagging one SLOW-UNDECLARED through all six de-lottery
+    // samples) measures the RESIDUE, not the code. If the start
+    // sentinel reads hot, wait and re-sample up to 6×, recording the
+    // last sample — the wait is visible on stderr, never hidden, and a
+    // genuinely busy host still enters the sweep flagged by the
+    // end/in-sweep sentinels as before.
+    var (load0, gc0, spin0, mtspin0) = sentinel()
+    var calib0 = calib(spark)
+    var settle = 0
+    while (settle < 6 &&
+        (mtspin0 > 2.0 * spin0 || calib0 > 1.5 * CalibQuietS || spin0 > 100)) {
+      System.err.println(f"[bench] start sentinel hot (spin=$spin0%.1f " +
+        f"mtspin=$mtspin0%.1f calib=$calib0%.3f) — settling 10 s")
+      Thread.sleep(10000)
+      val sN = sentinel()
+      load0 = sN._1; gc0 = sN._2; spin0 = sN._3; mtspin0 = sN._4
+      calib0 = calib(spark)
+      settle += 1
+    }
     val memband0 = memband()
     System.err.println(f"[bench] sentinel start cpus=${Runtime.getRuntime.availableProcessors} load=$load0%.2f gc_ms=$gc0 spin_ms=$spin0%.1f mtspin_ms=$mtspin0%.1f calib_s=$calib0%.3f memband_ms=$memband0%.1f")
     var failed = List.empty[String]
@@ -361,7 +381,14 @@ object Bench {
     // regressed — rerun on a quiet host before believing the number.
     slow.foreach { case (k, v) =>
       val tag = if (slowAllow(k)) "SLOW" else "SLOW-UNDECLARED"
-      System.err.println(f"[bench] $tag $k $v%.2f load_at=${loadAt(k)}%.2f")
+      // band context (round 12): a SLOW line whose own band ratio is an
+      // outlier while the sweep median is quiet is either a genuine
+      // regression or a local contention spike — the ratio pair lets a
+      // reader tell a hot-window artifact from a code change at a glance
+      val bandNote = quietBand.get(k).filter(_ > 0.05)
+        .map(b => f" band_ratio=${v / b}%.2f").getOrElse("")
+      System.err.println(
+        f"[bench] $tag $k $v%.2f load_at=${loadAt(k)}%.2f$bandNote")
     }
     val nSlowUndeclared = slow.count { case (k, _) => !slowAllow(k) }
     // Per-category subtotals (category = query-name prefix): localizes a
