@@ -432,8 +432,12 @@ object Analytics6 {
         import org.apache.spark.sql.types.DecimalType
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+        // log-octave bucketHint (the agg_abc_class derivation, ascending
+        // so no negation): o_totalprice > 0 always, floor(64·log₂ x) is
+        // monotone in x — skips the bounds job, one fewer eager action
         val thr = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
-            lit(1L), Seq((19L, 20L)))
+            lit(1L), Seq((19L, 20L)),
+            bucketHint = Some(floor(log(2.0, col("x").cast("double")) * 64)))
           .select(col("pick_0").as("p95"))
         o.crossJoin(broadcast(thr))
           .where(col("x") >= col("p95"))
@@ -509,7 +513,9 @@ object Analytics6 {
         val o = t(s, d, "orders")
           .select(col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
         val thr = ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
-            lit(1L), Seq((1L, 20L), (19L, 20L)))
+            lit(1L), Seq((1L, 20L), (19L, 20L)),
+            // log-octave hint, same derivation as agg_cvar
+            bucketHint = Some(floor(log(2.0, col("x").cast("double")) * 64)))
           .select(col("pick_0").as("p05"), col("pick_1").as("p95"))
         o.crossJoin(broadcast(thr))
           .select(col("p05"), col("p95"),
@@ -562,7 +568,9 @@ object Analytics6 {
         ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")),
             lit(1L),
             Seq((1L, 4L), (1L, 2L), (3L, 4L), (19L, 20L), (99L, 100L)),
-            totalName = "n_rows")
+            totalName = "n_rows",
+            // log-octave hint, same derivation as agg_cvar
+            bucketHint = Some(floor(log(2.0, col("x").cast("double")) * 64)))
           .select(col("pick_0").cast("double").as("p25"),
             col("pick_1").cast("double").as("p50"),
             col("pick_2").cast("double").as("p75"),
@@ -601,7 +609,11 @@ object Analytics6 {
           col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
         ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")), lit(1L),
             Seq((1L, 2L), (9L, 10L)), groupCols = Seq("o_orderpriority"),
-            totalName = "n_orders")
+            totalName = "n_orders",
+            // log-octave hint, same derivation as agg_cvar (the hint is
+            // a pure function of the value, so it is monotone within
+            // every group by construction)
+            bucketHint = Some(floor(log(2.0, col("x").cast("double")) * 64)))
           .select(col("o_orderpriority"),
             col("pick_0").cast("double").as("p50"),
             col("pick_1").cast("double").as("p90"),
