@@ -215,7 +215,12 @@ object SimGraph {
             .select(col("dst").as("set_id"),
               (teleport +
                 lit(0.85) * (col("sc").cast("double") / lit(1e12))).as("rank"))
-          if (i % 5 == 0) pr = pr.localCheckpoint()
+          // one mid-iteration checkpoint bounds the plan at ~5 join
+          // layers; the OLD i%5 form also checkpointed at i=10, paying a
+          // whole eager materialization action whose only consumer is
+          // the final sort — the closing job absorbs those 5 layers for
+          // free (round 12)
+          if (i == 5) pr = pr.localCheckpoint()
         }
         val isolated = nodes.join(active, Seq("set_id"), "left_anti")
           .select(col("set_id"),
