@@ -110,7 +110,8 @@ object Bench {
       spin1: Double, mtspin1: Double,
       loadAtMax: Double, cores: Int,
       calibMedSweep: Double = 0.0,
-      bandMedRatio: Double = 0.0, bandN: Int = 0): (Boolean, String) = {
+      bandMedRatio: Double = 0.0, bandN: Int = 0,
+      nOverBand2x: Int = 0): (Boolean, String) = {
     // endpoint anchors use 3× (min-of-3, taken at idle instants); the
     // IN-SWEEP median uses 2× — ten single samples spread across the
     // sweep, so a majority must be elevated, which only sustained
@@ -147,8 +148,20 @@ object Bench {
     // shutdown residue flagged a 77 s sweep whose ratio read 0.93 with
     // zero queries over 2× band). With no band coverage (non-sf0.1 dir,
     // bandN < 100) the proxies stand un-overridden.
+    //
+    // Round-13 (r12 ADVICE, medium): a median over ≥100 rows is blind to
+    // TAIL-LOCALIZED contention — a co-tenant arriving in the last third
+    // of the sweep can distort dozens of queries (the driver-r12 sample:
+    // median 1.01, yet 28/318 rows over 2× band and load_at_max 18.6)
+    // while the median stays ≤1.1. The override therefore also demands
+    // the per-query evidence the call site already computes: at most 1%
+    // of band rows over 2× (the field case that motivated the override
+    // had ZERO), and a QUIET END sentinel — so only start-residue trips
+    // are overridden, never contention that was still live when the
+    // sweep finished.
     val sweepQuiet = bandN >= 100 && bandMedRatio > 0 &&
-      bandMedRatio <= 1.1 && !calibBad
+      bandMedRatio <= 1.1 && !calibBad &&
+      nOverBand2x * 100 <= bandN && !(mtspin1 > 2.5 * spin1)
     (calibBad || bandBad || ((spinBad || loadBad) && !sweepQuiet),
       s"calib=$calibBad spin=$spinBad load=$loadBad band=$bandBad " +
         s"sweepQuietOverride=$sweepQuiet")
@@ -187,6 +200,27 @@ object Bench {
     if (ratios.isEmpty) (0.0, 0, 0)
     else (ratios(ratios.size / 2), ratios.count(_ > 2.0), ratios.size)
   }
+
+  /** Per-row band-clamped total: Σ min(measured, 2×band) — the
+    * complement of the median-ratio correction (round-12 verdict #3).
+    * `value_band_corrected` divides by the cross-query MEDIAN ratio,
+    * which models UNIFORM host degradation (the r11 shape: every query
+    * ~1.75×); it barely moves when transient contention hammers a
+    * SUBSET of queries while the median stays ~1.0 (the driver-r12
+    * shape: median 1.01, 28/318 rows over 2× band, total 113.6 s vs
+    * builder-quiet 77–88 s). Clamping each row at 2× its own quiet band
+    * bounds exactly that tail-concentrated contention: an un-banded or
+    * genuinely-regressed query keeps its raw time (the clamp can hide a
+    * >2× regression ONLY until the next band re-pin, and the per-query
+    * map + n_over_band_2x still expose it), so the clamped total is a
+    * lower-bound-ish comparable number, not the graded raw total.
+    * Rows without a band row (new queries) contribute their raw time.
+    */
+  def bandClampedTotal(results: Seq[(String, Double)],
+      band: Map[String, Double]): Double =
+    results.map { case (k, v) =>
+      band.get(k).filter(_ > 0.05).map(b => math.min(v, 2 * b)).getOrElse(v)
+    }.sum
 
   /** Soft advisory (reported, never flags by itself): the in-sweep calib
     * median is outside the quiet band but under the hard threshold.
@@ -461,7 +495,8 @@ object Bench {
         "global regression), not per-query regressions")
     val (distorted, clauses) = distortionVerdict(calib0, calib1,
       spin0, mtspin0, spin1, mtspin1, loadMax,
-      Runtime.getRuntime.availableProcessors, calibMed, bandMedRatio, bandN)
+      Runtime.getRuntime.availableProcessors, calibMed, bandMedRatio, bandN,
+      nOverBand2x)
     // advisory tier: calib median in the grey zone, OR the per-query band
     // median uniformly elevated (the sharpest host-state readout — the
     // round-11 co-tenant window read 1.46 band-median at a 1.475× total
@@ -476,6 +511,26 @@ object Bench {
     // ratio is ≥1; otherwise it equals the raw total.
     val totalCorrected =
       if (bandN >= 100 && bandMedRatio > 1.0) total / bandMedRatio else total
+    // Complementary per-row clamp (round-12 verdict #3) — bounds
+    // tail-concentrated contention the way the median ratio bounds
+    // uniform contention; see [[bandClampedTotal]].
+    val totalClamped = bandClampedTotal(results,
+      if (sfDir.contains("sf0.1")) quietBand else Map.empty)
+    // Self-evidencing SLOW flag (round-12 verdict #2): the r12 driver
+    // artifact carried `n_slow_undeclared: 1` but the naming stderr line
+    // was truncated out of the stored tail — a count without a name is
+    // unauditable. The names (and the top over-band rows) now ride in
+    // the final JSON line itself.
+    val slowUndeclaredNames = slow.collect {
+      case (k, _) if !slowAllow(k) => k
+    }.sorted
+    val worstBand: Seq[(String, Double)] =
+      if (sfDir.contains("sf0.1"))
+        results.collect {
+          case (k, v) if quietBand.get(k).exists(_ > 0.05) =>
+            k -> v / quietBand(k)
+        }.sortBy(-_._2).take(5)
+      else Nil
     if (distorted)
       System.err.println(s"[bench] DISTORTED $clauses — host contention; " +
         "rerun on a quiet host before reading per-query numbers as " +
@@ -485,7 +540,12 @@ object Bench {
         f"(band $CalibQuietS) band_median_ratio=$bandMedRatio%.2f — the " +
         "host ran degraded during the sweep; treat an inflated total as " +
         "host noise, not a regression")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"n_resampled":${resampled.size},"distorted":$distorted,"value_band_corrected":$totalCorrected%.1f,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"band_median_ratio":$bandMedRatio%.2f,"n_over_band_2x":$nOverBand2x,"band_n":$bandN,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
+    val slowUndeclaredJson =
+      slowUndeclaredNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val worstBandJson = worstBand
+      .map { case (k, r) => "\"" + k + f"""":$r%.2f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"slow_undeclared":$slowUndeclaredJson,"worst_band":$worstBandJson,"n_resampled":${resampled.size},"distorted":$distorted,"value_band_corrected":$totalCorrected%.1f,"value_band_clamped":$totalClamped%.1f,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"band_median_ratio":$bandMedRatio%.2f,"n_over_band_2x":$nOverBand2x,"band_n":$bandN,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
     spark.stop()
   }
 }

@@ -188,7 +188,18 @@ object MultiJvmSmoke {
       println(s"[multijvm] ${if (ok) "ok  " else "FAIL"} $n " +
         s"(${multi(n).size} rows multi, ${single(n).size} single)")
     }
-    val totalChecks = queryNames.size + 2
+    // Reader-memo release (round-13 ADVICE): both sessions above are
+    // stopped; the eviction hook must drop every entry they registered,
+    // or a long-lived multi-session JVM retains dead sessions' file
+    // indexes forever. This is the natural two-sequential-sessions host
+    // to assert it in (a stop() inside sbt test would kill the
+    // suite-shared SparkContext).
+    Tables.evictStoppedSessions()
+    val memoLeft = Tables.readerMemoSize
+    println(s"[multijvm] ${if (memoLeft == 0) "ok  " else "FAIL"} " +
+      s"xtra_readermemo_evict ($memoLeft entries after 2 stopped sessions)")
+    if (memoLeft != 0) failed += 1
+    val totalChecks = queryNames.size + 3
     println(f"[multijvm] == ${totalChecks - failed} ok, $failed fail == " +
       f"(mode=${if (allMode) "all" else "slice"}, " +
       f"multi $tMulti%.0f s, single $tSingle%.0f s)")

@@ -32,15 +32,36 @@ object Tables {
     * snapshot dir, and a mutable source should go through a catalog
     * table, not this helper. Keyed on session identity so multi-JVM /
     * multi-session runs never share state; bounded (sessions × sfDirs ×
-    * 10 tables).
+    * 10 tables), and entries owned by STOPPED sessions are purged on the
+    * next memo miss (round-13 ADVICE: a process-lifetime strong-keyed
+    * map otherwise retains every stopped sbt-test / multi-session
+    * session — and its resolved file index — forever).
     */
   private val readerMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readerMemo.computeIfAbsent((spark, sfDir, name), _ =>
-      if (name == "events") eventsFresh(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** Drop memo entries whose owning session is stopped. Called on the
+    * (rare) memo-miss path, never inside computeIfAbsent's mapping
+    * function (which must not mutate the map). Public so multi-session
+    * smokes can assert the release.
+    */
+  def evictStoppedSessions(): Unit =
+    readerMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+
+  /** Live memo entry count (post-eviction observability for tests). */
+  def readerMemoSize: Int = readerMemo.size
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, sfDir, name)
+    val hit = readerMemo.get(key)
+    if (hit != null) hit
+    else {
+      evictStoppedSessions()
+      readerMemo.computeIfAbsent(key, _ =>
+        if (name == "events") eventsFresh(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$name.parquet"))
+    }
+  }
 
   /** `events.ts` precision has varied across testdata generations:
     * nanosecond-precision parquet (which Spark's vectorized reader refuses —

@@ -558,6 +558,14 @@ object Analytics4 {
           """SELECT CAST(floor(unix_date(to_date(min(ts)))/7) AS BIGINT) AS lo,
                     CAST(floor(unix_date(to_date(max(ts)))/7) AS BIGINT) AS hi
              FROM events""")).head()
+        // min/max over an EMPTY events table is NULL; getLong would then
+        // throw a bare NPE. Fail loudly with a named message instead
+        // (the loud-failure convention) — the old pure-SQL form degraded
+        // to a NULL-anchored recursion, which silently returned a
+        // meaningless single NULL-week row.
+        require(!b.isNullAt(0) && !b.isNullAt(1),
+          "sql_recursive_cte: events table is empty — no week bounds to " +
+            "anchor the recursion on")
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         s.sql(s"""WITH RECURSIVE weeks(wk) AS (
                    SELECT CAST($lo AS BIGINT) AS wk

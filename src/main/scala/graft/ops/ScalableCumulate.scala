@@ -523,7 +523,9 @@ object ScalableCumulate {
       val bad = partRows.map(_.getLong(partSchema.size - 1)).sum
       require(bad == 0L, s"quantilePicks: $bad NaN/null primary keys")
       // a null bucket id (a bucketHint expression that nulls on non-null
-      // input) would crash getInt below with a misleading error — name it
+      // input) would crash the Long bucket-id read below (getLong on a
+      // null cell, post the round-12 Int→Long widening) with a
+      // misleading error — name it
       require(partRows.forall(!_.isNullAt(ng)),
         "quantilePicks: bucketHint produced a NULL bucket id on non-null " +
           "primary input — the hint expression must be total")

@@ -13,9 +13,10 @@ class BenchRuleSpec extends AnyFunSuite {
       spin1: Double = 70, mtspin1: Double = 90,
       loadAtMax: Double = 5, cores: Int = 32,
       calibMedSweep: Double = 0.15,
-      bandMedRatio: Double = 1.0, bandN: Int = 323) =
+      bandMedRatio: Double = 1.0, bandN: Int = 323,
+      nOverBand2x: Int = 0) =
     Bench.distortionVerdict(calib0, calib1, spin0, mtspin0, spin1, mtspin1,
-      loadAtMax, cores, calibMedSweep, bandMedRatio, bandN)
+      loadAtMax, cores, calibMedSweep, bandMedRatio, bandN, nOverBand2x)
 
   test("a genuinely quiet run is not flagged") {
     // round-11 measured quiet-host shape: calib ~0.06-0.20, mtspin/spin
@@ -146,6 +147,58 @@ class BenchRuleSpec extends AnyFunSuite {
     // still flags via spin+load exactly as shipped
     assert(verdict(mtspin0 = 207, spin0 = 70, loadAtMax = 26.1, cores = 8,
       bandMedRatio = 0.0, bandN = 0)._1)
+  }
+
+  test("override is withheld on tail-concentrated contention evidence") {
+    // round-12 ADVICE (medium): a co-tenant arriving in the LAST THIRD
+    // of a sweep distorts dozens of queries while the 100+-row median
+    // stays ≤1.1 — the old override would then suppress a legitimate
+    // load/spin trip. Two new requirements, each sufficient to withhold:
+    // (a) >1% of band rows over 2x — the driver-r12 sample read 28/318
+    //     over 2x at median 1.01; with a proxy trip that must stand
+    val (dA, cA) = verdict(loadAtMax = 60, cores = 32,
+      bandMedRatio = 1.01, bandN = 318, nOverBand2x = 28)
+    assert(dA && cA.contains("sweepQuietOverride=false"), cA)
+    // (b) a hot END sentinel — contention still live when the sweep
+    //     finished is not start residue; the trip stands
+    val (dB, cB) = verdict(spin1 = 70, mtspin1 = 193.9,
+      bandMedRatio = 0.95, bandN = 311, nOverBand2x = 0)
+    assert(dB && cB.contains("sweepQuietOverride=false"), cB)
+    // the motivating field case (start-residue mtspin trip, zero rows
+    // over 2x, quiet end) is still overridden
+    assert(!verdict(spin0 = 75.0, mtspin0 = 193.9, bandMedRatio = 0.93,
+      bandN = 311, nOverBand2x = 0)._1)
+    // boundary: exactly 1% of rows over 2x still overrides (<= bound);
+    // one more row withholds
+    assert(!verdict(spin0 = 75.0, mtspin0 = 193.9, bandMedRatio = 0.95,
+      bandN = 300, nOverBand2x = 3)._1)
+    assert(verdict(spin0 = 75.0, mtspin0 = 193.9, bandMedRatio = 0.95,
+      bandN = 300, nOverBand2x = 4)._1)
+  }
+
+  test("band-clamped total bounds tail-concentrated contention") {
+    // the driver-r12 shape in miniature: most rows at band, a contended
+    // subset far over it. Clamp = sum(min(measured, 2*band)); un-banded
+    // rows pass through raw.
+    val band = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "tiny" -> 0.01)
+    val clamped = Bench.bandClampedTotal(
+      Seq("a" -> 1.0, "b" -> 5.0, "c" -> 1.9, "new" -> 3.0, "tiny" -> 9.9),
+      band)
+    // a: 1.0 (under), b: clamped to 2.0, c: 1.9 (under 2x), new: raw 3.0
+    // (no band row), tiny: raw 9.9 (sub-50ms band excluded)
+    assert(math.abs(clamped - (1.0 + 2.0 + 1.9 + 3.0 + 9.9)) < 1e-9)
+    assert(Bench.bandClampedTotal(Nil, band) == 0.0)
+    // the driver-r12 fingerprint at scale: 290 rows riding their 0.25 s
+    // band + 28 rows at 4x band => raw 100.5 s, clamped 86.5 s — the
+    // clamp recovers the quiet-sweep magnitude the median correction
+    // (ratio 1.0 => no change) cannot
+    val bigBand = (1 to 318).map(i => s"q$i" -> 0.25).toMap
+    val sample = (1 to 290).map(i => s"q$i" -> 0.25) ++
+      (291 to 318).map(i => s"q$i" -> 1.0)
+    val raw = sample.map(_._2).sum
+    val cl = Bench.bandClampedTotal(sample, bigBand)
+    assert(math.abs(raw - 100.5) < 1e-9 && math.abs(cl - 86.5) < 1e-9,
+      s"raw=$raw clamped=$cl")
   }
 
   test("boundaries: 3x band and 2.5x spin are the documented thresholds") {
