@@ -53,7 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
-          s"sorted_intersect_count expects 2 arguments (array<string>, array<string>), got ${exprs.length}")
+          s"sorted_intersect_count expects 2 arguments (same-type string or bigint arrays), got ${exprs.length}")
         graft.functions.SortedIntersectCountExpr(exprs(0), exprs(1))
       }))
     ext.injectFunction((

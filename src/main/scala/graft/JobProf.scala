@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
@@ -34,6 +34,34 @@ object JobProf {
         starts.remove(j.jobId).foreach { case (t0, site) =>
           lines += f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $site"
         }
+      // Per-stage wall + IO volumes: the job lines say WHICH job is
+      // slow; these say WHAT the slow job's stages moved (shuffle bytes
+      // are the memory-bandwidth signature the allpairs hunt needed).
+      override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+        val i = st.stageInfo
+        val m = i.taskMetrics
+        val wall = (for (a <- i.completionTime; b <- i.submissionTime)
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        lines += f"    stage ${i.stageId}%3d $wall%6.2f s tasks=${i.numTasks}%3d " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+          f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+          f"spill=${m.memoryBytesSpilled / 1e6}%6.1fMB " +
+          i.name.takeWhile(_ != '\n').take(40)
+      }
+      // Storage-eviction instrumentation (round-13, the allpairs hunt):
+      // a cached block leaving memory mid-query shows up here as an
+      // update whose storage level lost useMemory (spilled to disk) or
+      // became invalid (dropped entirely → lineage recompute on next
+      // read). Per-query counts print alongside the job lines.
+      override def onBlockUpdated(b: SparkListenerBlockUpdated): Unit = {
+        val lvl = b.blockUpdatedInfo.storageLevel
+        val id = b.blockUpdatedInfo.blockId
+        if (id.isRDD && !lvl.isValid)
+          lines += s"  block DROP $id (recompute on next read)"
+        else if (id.isRDD && !lvl.useMemory && lvl.useDisk)
+          lines += s"  block to-disk $id"
+      }
     })
     args.tail.foreach { name =>
       (1 to 2).foreach { pass =>

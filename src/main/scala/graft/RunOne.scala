@@ -20,8 +20,14 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
       println(f"[runone] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // post-action executed plan (AQE-final) on demand — shows
+      // ReusedExchange/ReusedSubquery nodes that a pre-action explain
+      // cannot (set SPARK_GRAFT_EXPLAIN=1)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -26,19 +26,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * byte-wise unsigned, the same order). Null ELEMENTS poison the result
   * to NULL (the pipeline never produces them; poisoning makes misuse
   * visible instead of silently wrong).
+  *
+  * Round 13: also accepts (array<bigint>, array<bigint>) — the dedup
+  * verify path now merges sorted 64-bit token CODES instead of token
+  * strings (8 fixed bytes per element through the candidate join instead
+  * of variable-length UTF8 + offsets, and a primitive compare instead of
+  * a byte-wise one). Both sides must be the same element type.
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isLongSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  private lazy val longMode: Boolean = isLongSide(left)
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects (array<string>, array<string>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    def elem(e: Expression) = e.dataType match {
+      case ArrayType(t @ (StringType | LongType), _) => Some(t)
+      case _ => None
+    }
+    (elem(left), elem(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two arrays of the same element " +
+          s"type (string or bigint), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
@@ -52,7 +67,9 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0L
     while (i < n1 && j < n2) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (longMode) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -68,6 +85,9 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       val n1 = ctx.freshName("n1")
       val n2 = ctx.freshName("n2")
       val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (longMode) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |final int $n1 = $a.numElements();
          |final int $n2 = $b.numElements();
@@ -76,7 +96,7 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    final int $cmp = $cmpExpr;
          |    if ($cmp == 0) { $c++; $i++; $j++; }
          |    else if ($cmp < 0) { $i++; }
          |    else { $j++; }
@@ -97,7 +117,7 @@ object SortedIntersectCountExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", { exprs =>
         require(exprs.length == 2,
-          s"sorted_intersect_count expects 2 arguments (array<string>, array<string>), got ${exprs.length}")
+          s"sorted_intersect_count expects 2 arguments (same-type string or bigint arrays), got ${exprs.length}")
         SortedIntersectCountExpr(exprs(0), exprs(1))
       }, "scala_udf")
 }

