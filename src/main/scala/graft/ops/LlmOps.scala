@@ -631,21 +631,23 @@ object LlmOps {
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 50) {
-          // TWO edge-hops per round (round 13 — the r12 verdict's
+          // THREE edge-hops per round (round 13 — the r12 verdict's
           // round-fusion order): the loop's wall time is per-round FIXED
-          // cost (checkpoint job + count job on a tiny contracted graph
-          // — scheduler latency, not data), and rounds are bounded by
-          // the component DIAMETER at one edge-hop each. Pointer
-          // quadrupling was tried first and did NOT cut rounds (the
-          // label forest is already shallow after each neighbor-min;
-          // the diameter bound binds) — so the second hop goes through
-          // the EDGES, fusing two propagation rounds into one round's
-          // job pair: same total joins, half the checkpoint+count round
-          // trips (measured at sf0.1: 5 rounds → 3, steady ~3.1 →
-          // ~2.3 s on the same host). Sound because labels only ever
-          // DECREASE: a net-zero round means neither hop lowered any
-          // label, so a 2-hop fixpoint is exactly a 1-hop fixpoint —
-          // the loop can never stop early on a half-converged state.
+          // cost (AQE stage-jobs on a tiny contracted graph — scheduler
+          // latency, not data; JobProf read ~134 jobs of ~20 ms for one
+          // steady 5-round execution), and rounds are bounded by the
+          // component DIAMETER at one edge-hop each. Pointer quadrupling
+          // was tried first and did NOT cut rounds (the label forest is
+          // already shallow after each neighbor-min; the diameter bound
+          // binds) — so the extra hops go through the EDGES, fusing
+          // three propagation rounds into one round's job pair: same
+          // total edge joins, ~40% fewer checkpoint+count round trips
+          // (measured at sf0.1: 5 rounds → 3). The hops run lazily
+          // inside one checkpoint job, so the fused round is one
+          // scheduling trip, not three. Sound because labels only ever
+          // DECREASE: a net-zero round means no hop lowered any label,
+          // so a multi-hop fixpoint is exactly a 1-hop fixpoint — the
+          // loop can never stop early on a half-converged state.
           def hop(lab: DataFrame): DataFrame = {
             val nbMin = edges
               .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")

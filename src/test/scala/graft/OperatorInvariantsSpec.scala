@@ -27,6 +27,19 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), "interval join fell back to BNLJ")
   }
 
+  test("dedup verify merges 64-bit token codes, not strings (round 13)") {
+    // The set-pair verify is the board's densest all-core compute stage;
+    // round 13 moved its intersect from array<string> to sorted xxhash64
+    // codes (8 fixed bytes/element through the candidate join) behind a
+    // loud per-corpus injectivity check. Pin the plan shape so a refactor
+    // can't silently regress the verify back to string traffic.
+    val plan = q("dedup_allpairs_exact").queryExecution.analyzed.toString
+    assert(plan.contains("sorted_intersect_count(th_sa"),
+      "verify no longer merges the coded th_* arrays")
+    assert(!plan.contains("sorted_intersect_count(ts"),
+      "verify regressed to string-array intersection")
+  }
+
   test("join cardinality: semi + anti partition the left table") {
     val customers = Tables.t(spark, sf, "customer").count()
     assert(q("join_semi").count() + q("join_anti").count() == customers)
