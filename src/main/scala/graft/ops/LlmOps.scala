@@ -631,23 +631,32 @@ object LlmOps {
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 50) {
-          // THREE edge-hops per round (round 13 — the r12 verdict's
-          // round-fusion order): the loop's wall time is per-round FIXED
-          // cost (AQE stage-jobs on a tiny contracted graph — scheduler
-          // latency, not data; JobProf read ~134 jobs of ~20 ms for one
-          // steady 5-round execution), and rounds are bounded by the
-          // component DIAMETER at one edge-hop each. Pointer quadrupling
-          // was tried first and did NOT cut rounds (the label forest is
-          // already shallow after each neighbor-min; the diameter bound
-          // binds) — so the extra hops go through the EDGES, fusing
-          // three propagation rounds into one round's job pair: same
-          // total edge joins, ~40% fewer checkpoint+count round trips
-          // (measured at sf0.1: 5 rounds → 3). The hops run lazily
-          // inside one checkpoint job, so the fused round is one
-          // scheduling trip, not three. Sound because labels only ever
-          // DECREASE: a net-zero round means no hop lowered any label,
-          // so a multi-hop fixpoint is exactly a 1-hop fixpoint — the
-          // loop can never stop early on a half-converged state.
+          // Round-13 floor analysis (the r12 verdict's round-fusion
+          // order, investigated to a measured conclusion): the loop's
+          // wall time is NOT "2 jobs/round" — AQE materializes every
+          // exchange as its own stage-job, and JobProf read ~134 jobs of
+          // ~20 ms for one steady execution (~2.5 s of scheduler round
+          // trips over KB-sized data). Three fusion attempts, all
+          // measured at sf0.1 and REJECTED:
+          //   (a) pointer QUADRUPLING — did not cut rounds (the label
+          //       forest is already shallow after each neighbor-min;
+          //       the graph-diameter bound binds, not chain length);
+          //   (b) multi-EDGE-hop rounds (hop∘hop∘hop per round) — cut
+          //       rounds 5 → 3 but wall time was a wash (A/B with the
+          //       memo pre-built: 2.9-3.2 s both): total exchange count
+          //       is invariant under fusion and AQE schedules per
+          //       EXCHANGE, not per round;
+          //   (c) AQE OFF for the loop — catastrophic (steady 2.5 →
+          //       14+ s): static plans sort-merge-join the tiny
+          //       relations at full shuffle width; AQE's runtime
+          //       broadcast conversion is load-bearing.
+          // Conclusion: Spark's per-exchange scheduling minimum is the
+          // binding constraint for iterative ops on a CONTRACTED graph
+          // this small; the query stays on the SLOW allowlist with this
+          // breakdown as the justification. (At 100 TB the contracted
+          // graph is millions of sets and the per-round DATA cost
+          // dominates — the fixed floor is a local[32]-at-sf0.1
+          // artifact, which is why fusing it buys nothing real.)
           def hop(lab: DataFrame): DataFrame = {
             val nbMin = edges
               .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
@@ -656,9 +665,10 @@ object LlmOps {
               .select(col("sid"),
                 least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
           }
-          // both hops run lazily inside the ONE checkpoint job; `prev`
-          // rides along for the convergence compare
-          val stepped = hop(hop(hop(labels)))
+          // one neighbor-min hop per round (see the floor analysis
+          // above for why fusing more hops in is a measured wash);
+          // `prev` rides along for the convergence compare
+          val stepped = hop(labels)
             .join(labels.select(col("sid"), col("lbl").as("prev")), "sid")
             .localCheckpoint()
           // pointer doubling stays: follow the label's own label
