@@ -147,7 +147,15 @@ object LlmOps {
         .groupBy("ts")
         .agg(min("doc_id").as("set_id"),
           sort_array(collect_list(col("doc_id"))).as("members"))
-        .withColumn("nt", size(col("ts")).cast("long")))
+        .withColumn("nt", size(col("ts")).cast("long"))
+        // sorted 64-bit token codes, materialized ONCE per set at cache
+        // build (round 13): the verify path merges these instead of the
+        // token strings — computing them per steady run cost ~0.1 s of
+        // per-set transform+sort on every verify-side broadcast; in the
+        // cache they are nt×8 B per set (~25% growth) that only the
+        // verify consumers ever scan (columnar cache prunes columns)
+        .withColumn("th", array_sort(transform(col("ts"),
+          tkn => xxhash64(lit(0xC0DE), tkn)))))
 
   /** Candidate set pairs via hand-rolled banded MinHash: 8 signatures per
     * set as `array_min(transform(ts, xxhash64(band, token)))` — pure
@@ -289,14 +297,12 @@ object LlmOps {
     }
   }
 
-  /** Sorted token-code arrays per set, derived per-row from the cached
-    * groups relation (no extra cache: the transform+sort is per-SET
-    * compute; the saving is per-PAIR join traffic).
+  /** Sorted token-code arrays per set, read straight off the cached
+    * groups relation (`th` is materialized once at cache build; the
+    * saving vs strings is per-PAIR join traffic).
     */
   private def codedSide(groups: DataFrame, side: String, n: String): DataFrame =
-    groups.select(col("set_id").as(side),
-      array_sort(transform(col("ts"),
-        tkn => xxhash64(lit(0xC0DE), tkn))).as(s"th_$side"),
+    groups.select(col("set_id").as(side), col("th").as(s"th_$side"),
       col("nt").as(n))
 
   /** Exact verification at SET granularity: candidate (sa, sb) pairs →
