@@ -86,4 +86,22 @@ class SimScaleSpec extends AnyFunSuite {
       assert(math.abs(ivfN.toDouble / bruteN - ivf1.toDouble / brute1) < 0.01)
     }
   }
+
+  test("IVF pruning holds one more decade: 100x (round 13)") {
+    // Same treatment the dedup curve got in round 13 (ScaleSpec 100x):
+    // the 100 TB claim extrapolates decades past the 10x rung, so
+    // measure one more. The closed form and the scale-invariant
+    // fraction must hold at a corpus 100x the sf0.01 base (= 10x the
+    // sf0.1 board's embeddings table).
+    val (n1, ivf1, brute1, _) = probe(base)
+    val (n100, ivf100, brute100, secs) = probe(fixture(100))
+    info(f"scale 100x: vectors=$n100%7d ivf_scanned=$ivf100%9d " +
+      f"brute=$brute100%9d fraction=${ivf100.toDouble / brute100}%.4f " +
+      f"probe=$secs%.1fs")
+    assert(n100 == 100 * n1)
+    assert(ivf100 == 100L * (ivf1 + 5) - 5,
+      s"expected exactly ${100L * (ivf1 + 5) - 5} scanned candidates, " +
+        s"got $ivf100 (quadratic would be ~${10000L * ivf1})")
+    assert(math.abs(ivf100.toDouble / brute100 - ivf1.toDouble / brute1) < 0.01)
+  }
 }
