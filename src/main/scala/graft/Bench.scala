@@ -27,7 +27,14 @@ object Bench {
     * pays the full build).
     */
   val slowAllow: Set[String] = Set(
-    "dedup_cc_labelprop", "dedup_minhash_full", "dedup_allpairs_exact",
+    "dedup_cc_labelprop", "dedup_minhash_full",
+    // dedup_allpairs_exact left this list in round 13: the coded verify
+    // (sorted 64-bit token codes through the candidate join instead of
+    // UTF8 strings) + the PPJoin positional filter cut its steady to
+    // ~1.0 s at sf0.1 (band 1.05) and closed the in-sweep contention
+    // amplification the r11/r12 verdicts tracked — its band is under
+    // the 1.25 s de-lottery safety line, so a 1.5x-degraded host cannot
+    // steadily flag it
     "sim_lsh_approx", "mm_decode_real",
     // MLlib MinHashLSH fit + per-side transform fixed pipeline cost
     "dedup_minhash_lsh",
