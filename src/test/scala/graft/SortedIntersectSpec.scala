@@ -48,6 +48,44 @@ class SortedIntersectSpec extends AnyFunSuite {
     }
   }
 
+  test("bigint mode agrees with set intersection and with the string mode (round 13)") {
+    // The coded dedup verify merges sorted xxhash64 arrays; the long
+    // branch of the expression must count exactly |A ∩ B| for every
+    // sorted-distinct pair, and coding a string pair then merging must
+    // equal merging the strings (injective coding ⇒ same count).
+    graft.functions.SortedIntersectCountExpr.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 200).map { _ =>
+      def draw() = (0 until rnd.nextInt(40))
+        .map(_ => rnd.nextInt(60).toLong * 1000003L) // collision-free codes
+        .distinct.sorted
+      (draw(), draw())
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, 1L, Long.MaxValue)))
+    val got = cases.toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)").as("n"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), n) =>
+      assert(n == a.toSet.intersect(b.toSet).size.toLong,
+        s"long-mode merge wrong for $a vs $b")
+    }
+    // string pair → coded pair parity (the verify path's exact claim)
+    val strs = Seq((Seq("alpha", "beta", "gamma"), Seq("beta", "delta", "gamma")))
+    val parity = strs.toDF("sa", "sb").select(
+      expr("sorted_intersect_count(sa, sb)").as("viaStr"),
+      expr("sorted_intersect_count(array_sort(transform(sa, t -> xxhash64(49374, t))), " +
+        "array_sort(transform(sb, t -> xxhash64(49374, t))))").as("viaCode"))
+      .collect()(0)
+    assert(parity.getLong(0) == 2L && parity.getLong(1) == 2L)
+    // mixed element types are a type error, not a silent wrong answer
+    val mixed = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array('a'), array(1L)) AS c").collect()
+    }
+    assert(mixed.getMessage.contains("same element"), mixed.getMessage)
+  }
+
   test("null array -> null; null element poisons to null") {
     graft.functions.SortedIntersectCountExpr.register(spark)
     import spark.implicits._
