@@ -144,6 +144,22 @@ object Bench {
     // sustained contention.
     val bandBad = bandN >= 100 && (bandMedRatio >= 1.5 ||
       (calibMedSweep > 1.3 * CalibQuietS && bandMedRatio >= 1.4))
+    // Tail-concentrated contention (round-14, r13 verdict #1): the median
+    // clause above is blind to a co-tenant that hammers a SUBSET of the
+    // sweep — the driver-r13 sample read median 1.13 (under every line)
+    // while 40/321 rows sat over 2× band at up to 16.1× (the contiguous
+    // alphabetical evt_* stretch — a transient co-tenant window), gc
+    // 8.7 s, load_at_max 12.4, and still shipped `distorted:false`; the
+    // honest number was the clamped 101.9 vs raw 125.9. A quiet host
+    // reads 0–2 rows over 2× band (three builder sweeps + the judge's:
+    // ≤1/321); ≥5% of ≥100 band rows over 2× cannot be a quiet host, and
+    // seventeen-plus SIMULTANEOUS genuine >2× regressions are
+    // indistinguishable from contention until a quiet rerun either way —
+    // the same argument the median clause already rests on. See
+    // [[tailContention]]; the artifact also names the signal in its own
+    // `tail_contention` field so a reader who stops at the flag still
+    // sees WHICH evidence class fired.
+    val tailBad = tailContention(nOverBand2x, bandN)
     // Direct-evidence override (round 12): the spins and load are
     // PROXIES for "the per-query numbers are distorted"; the per-query
     // band median is the direct measurement of that same question. When
@@ -169,10 +185,18 @@ object Bench {
     val sweepQuiet = bandN >= 100 && bandMedRatio > 0 &&
       bandMedRatio <= 1.1 && !calibBad &&
       nOverBand2x * 100 <= bandN && !(mtspin1 > 2.5 * spin1)
-    (calibBad || bandBad || ((spinBad || loadBad) && !sweepQuiet),
+    (calibBad || bandBad || tailBad || ((spinBad || loadBad) && !sweepQuiet),
       s"calib=$calibBad spin=$spinBad load=$loadBad band=$bandBad " +
-        s"sweepQuietOverride=$sweepQuiet")
+        s"tail=$tailBad sweepQuietOverride=$sweepQuiet")
   }
+
+  /** Tail clause of [[distortionVerdict]], exposed pure so the artifact
+    * can carry it as a named `tail_contention` field: ≥5% of ≥100 band
+    * rows over 2× their own quiet band. Mutually exclusive with the
+    * quiet-sweep override by construction (the override demands ≤1%).
+    */
+  def tailContention(nOverBand2x: Int, bandN: Int): Boolean =
+    bandN >= 100 && nOverBand2x * 20 >= bandN
 
   /** Per-query quiet-host band: steady seconds from a clean quiet-host
     * sf0.1 run, shipped as a classpath resource. [[bandStats]] compares a
@@ -504,6 +528,10 @@ object Bench {
       spin0, mtspin0, spin1, mtspin1, loadMax,
       Runtime.getRuntime.availableProcessors, calibMed, bandMedRatio, bandN,
       nOverBand2x)
+    // Named tail signal (round-14 verdict #1): rides in the JSON so the
+    // tail shape is legible from the flag line itself — when true, the
+    // comparable number is value_band_clamped, not the raw total.
+    val tailCont = tailContention(nOverBand2x, bandN)
     // advisory tier: calib median in the grey zone, OR the per-query band
     // median uniformly elevated (the sharpest host-state readout — the
     // round-11 co-tenant window read 1.46 band-median at a 1.475× total
@@ -541,7 +569,9 @@ object Bench {
     if (distorted)
       System.err.println(s"[bench] DISTORTED $clauses — host contention; " +
         "rerun on a quiet host before reading per-query numbers as " +
-        f"regressions (band-corrected total $totalCorrected%.1f s)")
+        f"regressions (band-corrected total $totalCorrected%.1f s" +
+        (if (tailCont) f", tail-contended: clamped total $totalClamped%.1f s " +
+          "is the comparable number" else "") + ")")
     else if (elevated)
       System.err.println(f"[bench] HOST-ELEVATED calib_med=$calibMed%.3f s " +
         f"(band $CalibQuietS) band_median_ratio=$bandMedRatio%.2f — the " +
@@ -552,7 +582,7 @@ object Bench {
     val worstBandJson = worstBand
       .map { case (k, r) => "\"" + k + f"""":$r%.2f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"slow_undeclared":$slowUndeclaredJson,"worst_band":$worstBandJson,"n_resampled":${resampled.size},"distorted":$distorted,"value_band_corrected":$totalCorrected%.1f,"value_band_clamped":$totalClamped%.1f,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"band_median_ratio":$bandMedRatio%.2f,"n_over_band_2x":$nOverBand2x,"band_n":$bandN,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"n_slow_undeclared":$nSlowUndeclared,"slow_undeclared":$slowUndeclaredJson,"worst_band":$worstBandJson,"n_resampled":${resampled.size},"distorted":$distorted,"tail_contention":$tailCont,"value_band_corrected":$totalCorrected%.1f,"value_band_clamped":$totalClamped%.1f,"calib_elevated":$elevated,"calib_s_start":$calib0%.3f,"calib_s_end":$calib1%.3f,"calib_s_med_sweep":$calibMed%.3f,"calib_s_max_sweep":$calibMax%.3f,"calib_quiet_band_s":$CalibQuietS,"band_median_ratio":$bandMedRatio%.2f,"n_over_band_2x":$nOverBand2x,"band_n":$bandN,"memband_ms_start":$memband0%.1f,"memband_ms_end":$memband1%.1f,"memo_build_s":$memoBuild%.2f,"dedup_cold_s":$dedupCold%.2f,"dedup_steady_s":$dedupSteady%.2f,"load_avg":$load1%.2f,"load_at_max":$loadMax%.2f,"load_at_med":$loadMed%.2f,"gc_ms":$gc1,"spin_ms_start":$spin0%.1f,"spin_ms_end":$spin1%.1f,"mtspin_ms_start":$mtspin0%.1f,"mtspin_ms_end":$mtspin1%.1f}""")
     spark.stop()
   }
 }

@@ -25,15 +25,23 @@ object JobProf {
     spark.sparkContext.setLogLevel("WARN")
     val starts = mutable.Map[Int, (Long, String)]()
     val lines = mutable.ArrayBuffer[String]()
+    // job count tracked separately from `lines` (round-14 ADVICE): lines
+    // also accumulates per-stage and per-block-update entries, so its
+    // size is NOT the job count (the r13 build printed it as `jobs=`,
+    // inflating the figure the labelprop floor analysis is based on —
+    // that analysis itself predates the extra listeners and stands).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = (System.nanoTime(),
           s"stages=${j.stageInfos.size} " +
             j.stageInfos.map(_.name.takeWhile(_ != '\n').take(60)).mkString(" | "))
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobCount.incrementAndGet()
         starts.remove(j.jobId).foreach { case (t0, site) =>
           lines += f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $site"
         }
+      }
       // Per-stage wall + IO volumes: the job lines say WHICH job is
       // slow; these say WHAT the slow job's stages moved (shuffle bytes
       // are the memory-bandwidth signature the allpairs hunt needed).
@@ -66,11 +74,13 @@ object JobProf {
     args.tail.foreach { name =>
       (1 to 2).foreach { pass =>
         lines.clear()
+        jobCount.set(0)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val total = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // let the listener bus drain before printing
-        println(f"[jobprof] $name pass=$pass rows=$n total=$total%.3f s jobs=${lines.size}")
+        println(f"[jobprof] $name pass=$pass rows=$n total=$total%.3f s " +
+          s"jobs=${jobCount.get()} events=${lines.size}")
         lines.foreach(println)
       }
     }

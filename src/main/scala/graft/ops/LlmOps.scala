@@ -139,7 +139,24 @@ object LlmOps {
     * move for a shared dedup intermediate; memory is O(#distinct sets),
     * storage-level default (MEMORY_AND_DISK, LRU-evictable).
     */
-  private[graft] def tokenSetGroups(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokenSetGroups(s: SparkSession, d: String): DataFrame = {
+    // sorted 64-bit token codes, materialized ONCE per set at cache
+    // build (round 13): the verify path merges these instead of the
+    // token strings — computing them per steady run cost ~0.1 s of
+    // per-set transform+sort on every verify-side broadcast; in the
+    // cache they are nt×8 B per set (~25% growth) that only the
+    // verify consumers ever scan (columnar cache prunes columns).
+    // The seed is resolved per corpus by [[injectiveCodeSeed]] (memoized
+    // one-aggregate check); if NO seed is injective the sorted token
+    // strings themselves ride as `th` (sorted+distinct by construction),
+    // so the same verify plan merges strings — the native intersect
+    // expression handles both element types. The fallback duplicates the
+    // ts column in the cache; acceptable for the rare tier it serves.
+    val th: Column = injectiveCodeSeed(s, d) match {
+      case Some(seed) =>
+        array_sort(transform(col("ts"), tkn => tokenCode(s, seed, tkn)))
+      case None => col("ts")
+    }
     trackedCache(s, d, "tokenSetGroups",
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -148,14 +165,8 @@ object LlmOps {
         .agg(min("doc_id").as("set_id"),
           sort_array(collect_list(col("doc_id"))).as("members"))
         .withColumn("nt", size(col("ts")).cast("long"))
-        // sorted 64-bit token codes, materialized ONCE per set at cache
-        // build (round 13): the verify path merges these instead of the
-        // token strings — computing them per steady run cost ~0.1 s of
-        // per-set transform+sort on every verify-side broadcast; in the
-        // cache they are nt×8 B per set (~25% growth) that only the
-        // verify consumers ever scan (columnar cache prunes columns)
-        .withColumn("th", array_sort(transform(col("ts"),
-          tkn => xxhash64(lit(0xC0DE), tkn)))))
+        .withColumn("th", th))
+  }
 
   /** Candidate set pairs via hand-rolled banded MinHash: 8 signatures per
     * set as `array_min(transform(ts, xxhash64(band, token)))` — pure
@@ -213,10 +224,11 @@ object LlmOps {
     // twice (an uncached structurally-identical self-join was tried in
     // round 13: exchange reuse does NOT fire — AQE broadcasts the second
     // side and the window subtree runs twice). The cache is projected to
-    // the three join columns first (round 13 — df/rk dropped before
-    // materialization), so it holds only the ⌊nt/10⌋+1 prefix tokens per
-    // SET (~0.4 rows per document at 10% prefix), far smaller than the
-    // corpus.
+    // set_id/nt/token/rk first (round 13 — df dropped before
+    // materialization; rk is kept because the positional filter below
+    // needs both sides' prefix ranks), so it holds only the ⌊nt/10⌋+1
+    // prefix tokens per SET (~0.4 rows per document at 10% prefix), far
+    // smaller than the corpus.
     val ranked = trackedCache(groups.sparkSession,
       s"plan${groups.queryExecution.analyzed.semanticHash()}", "prefixCandidates",
       tk.join(dfreq, "token")
@@ -256,45 +268,85 @@ object LlmOps {
       .select("sa", "sb").distinct()
   }
 
-  /** Per-(session, sfDir) memo for [[ensureTokenHashInjective]] — the
-    * check is one small distributed aggregate, run once per corpus.
+  /** Seeds the token coding tries, in order. The first is the round-13
+    * production seed (so the default corpus keeps its measured plans and
+    * bands bit-for-bit); the rest exist for the mechanical retry below —
+    * a fresh xxhash64 seed draws an independent coding, so the chance
+    * that a corpus collides under BOTH of two seeds is the square of the
+    * already-birthday-rare single-seed probability.
     */
-  private val hashInjectiveMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[graft] val codeSeeds: Seq[Int] = Seq(0xC0DE, 0xC0DF, 0xC0E0)
 
-  /** Verified-injective token coding (round 13): the dedup verify path
-    * merges sorted xxhash64 token CODES instead of token strings — 8
-    * fixed bytes per element through the candidate join instead of
-    * variable-length UTF8 (measured ~3× less bytes moved through the
-    * verify stage, the board's densest all-core compute block and the
-    * reason dedup_allpairs_exact amplified host contention ~2× over the
-    * sweep median in the round-12/13 anomaly hunts). Intersection counts
-    * over the coded arrays equal the true token intersections IFF the
-    * coding is injective on the corpus vocabulary — which this PROVES
-    * per corpus with one distributed aggregate (distinct tokens vs
-    * distinct codes over the token dictionary) and fails LOUDLY if a
-    * 64-bit collision ever lands (expected once per ~2³² distinct
-    * tokens by birthday bound; this corpus has ~10⁵). Exactness is thus
-    * still a theorem, conditioned on a machine-checked premise — the
-    * same posture as the overflow-guarded exact arithmetic in
-    * ScalableCumulate. On failure, rebuild with a different seed or
-    * fall back to string verify.
+  /** The 64-bit token coding at `seed`. The session conf
+    * `graft.dedup.collideSeeds` (CSV of seeds, TESTS ONLY) degrades the
+    * named seeds to 7 buckets so a collision — a once-per-~2³²-tokens
+    * event in production — is forced by pigeonhole on any corpus with
+    * more than 7 distinct tokens (sf0.001 has 31) and the fallback tiers
+    * proven to emit identical pairs (round-14 verdict #2: the recovery
+    * path must be exercised code, not a comment).
     */
-  private[graft] def ensureTokenHashInjective(s: SparkSession, d: String): Unit = {
-    val k = s"${System.identityHashCode(s)}|$d"
-    if (!hashInjectiveMemo.contains(k)) {
-      val r = t(s, d, "documents")
+  private def tokenCode(s: SparkSession, seed: Int, tkn: Column): Column = {
+    val base = xxhash64(lit(seed), tkn)
+    if (s.conf.get("graft.dedup.collideSeeds", "")
+        .split(",").contains(seed.toString)) pmod(base, lit(7L))
+    else base
+  }
+
+  /** Per-corpus memo for [[injectiveCodeSeed]] — keyed by the corpus dir
+    * (plus the test-only fault conf), NOT by session (round-14 ADVICE:
+    * the verdict is corpus-determined, and a session-identity key
+    * retained entries for stopped sessions). The resolution is one small
+    * distributed aggregate per seed tried, run once per corpus per JVM.
+    */
+  private[graft] val injectiveSeedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Int]]
+
+  /** Verified-injective token coding (round 13; mechanical fallback
+    * round 14): the dedup verify path merges sorted xxhash64 token CODES
+    * instead of token strings — 8 fixed bytes per element through the
+    * candidate join instead of variable-length UTF8 (measured ~3× less
+    * bytes moved through the verify stage, the board's densest all-core
+    * compute block and the reason dedup_allpairs_exact amplified host
+    * contention ~2× over the sweep median in the round-12/13 anomaly
+    * hunts). Intersection counts over the coded arrays equal the true
+    * token intersections IFF the coding is injective on the corpus
+    * vocabulary — PROVEN per corpus with one distributed aggregate
+    * (distinct tokens vs distinct codes over the token dictionary).
+    * Exactness is thus a theorem conditioned on a machine-checked
+    * premise — the same posture as the overflow-guarded exact arithmetic
+    * in ScalableCumulate.
+    *
+    * Recovery is mechanical, never an abort (round-14 verdict #2 — at a
+    * real 100 TB vocabulary ~2³² distinct tokens the birthday bound makes
+    * a collision EXPECTED, so the reaction cannot be a `require`):
+    * seeds are tried in [[codeSeeds]] order and the first injective one
+    * wins (each failure logs loudly); if every seed collides, this
+    * returns None and [[tokenSetGroups]] ships the sorted token STRINGS
+    * as `th`, so the verify merges strings — exact with zero premises,
+    * just ~3× more verify traffic. TokenCodingFallbackSpec forces both
+    * tiers with a synthetic collision and asserts pair-for-pair equality.
+    */
+  private[graft] def injectiveCodeSeed(s: SparkSession, d: String): Option[Int] = {
+    val k = s"$d|${s.conf.get("graft.dedup.collideSeeds", "")}"
+    injectiveSeedMemo.getOrElseUpdate(k, {
+      val toks = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-        .agg(countDistinct(col("token")).as("ntok"),
-          countDistinct(xxhash64(lit(0xC0DE), col("token"))).as("ncode"))
-        .head()
-      require(r.getLong(0) == r.getLong(1),
-        s"token-code collision: ${r.getLong(0)} distinct tokens hash to " +
-          s"${r.getLong(1)} distinct 64-bit codes — the coded dedup verify " +
-          "would under-count intersections; use a different seed or the " +
-          "string verify path")
-      hashInjectiveMemo.update(k, true)
-    }
+      val seed = codeSeeds.find { sd =>
+        val r = toks.agg(countDistinct(col("token")).as("ntok"),
+          countDistinct(tokenCode(s, sd, col("token"))).as("ncode")).head()
+        val ok = r.getLong(0) == r.getLong(1)
+        if (!ok) System.err.println(
+          s"[graft] token-code collision at seed 0x${sd.toHexString}: " +
+            s"${r.getLong(0)} distinct tokens -> ${r.getLong(1)} distinct " +
+            "64-bit codes; retrying with the next seed")
+        ok
+      }
+      if (seed.isEmpty) System.err.println(
+        s"[graft] no injective token coding after ${codeSeeds.size} seeds — " +
+          "dedup verify falls back to merging sorted token strings " +
+          "(exact unconditionally, ~3x more verify traffic)")
+      seed
+    })
   }
 
   /** Sorted token-code arrays per set, read straight off the cached
@@ -313,9 +365,10 @@ object LlmOps {
     * count ≪ doc count by the duplication factor, but it is
     * corpus-proportional, so the hint is left to Catalyst.
     *
-    * Callers must run [[ensureTokenHashInjective]] once for the corpus
-    * before acting on this plan — the intersect merges 64-bit token
-    * codes (see there for why and for the exactness argument).
+    * The intersect merges whatever [[tokenSetGroups]] shipped as `th`:
+    * 64-bit token codes under a per-corpus-verified injective seed, or
+    * the sorted token strings when no seed is injective — see
+    * [[injectiveCodeSeed]] for the exactness argument and fallback tiers.
     */
   private def verifySetPairs(groups: DataFrame, cand: DataFrame): DataFrame = {
     val g1 = codedSide(groups, "sa", "na")
@@ -364,7 +417,6 @@ object LlmOps {
   private def buildSetPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCountExpr.register(s)
     val t0 = System.nanoTime()
-    ensureTokenHashInjective(s, d)
     val groups = tokenSetGroups(s, d)
     val built =
       verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
@@ -550,7 +602,6 @@ object LlmOps {
     Spec("dedup_allpairs_exact",
       (s, d) => {
         graft.functions.SortedIntersectCountExpr.register(s)
-        ensureTokenHashInjective(s, d)
         val groups = tokenSetGroups(s, d)
         verifyAndExpand(groups, prefixCandidates(groups))
           .orderBy("d1", "d2")

@@ -176,6 +176,46 @@ class BenchRuleSpec extends AnyFunSuite {
       bandN = 300, nOverBand2x = 4)._1)
   }
 
+  test("the exact r13 driver fingerprint is distorted via the tail clause") {
+    // BENCH_r13 (driver): calib 0.203/0.101, calib_med_sweep 0.179,
+    // spin 69.9/73.5, mtspin 81.5/100.9, load_at_max 12.44 on 32 cores,
+    // band_median_ratio 1.13 — every pre-r14 clause passed — yet
+    // 40/321 rows sat over 2x band at up to 16.11x (the alphabetically
+    // contiguous evt_* stretch: a transient co-tenant window), gc 8.7 s,
+    // and the artifact shipped `distorted:false` at 125.9 s raw where
+    // the clamped total read 101.9 and the judge's quiet sweep of the
+    // same code read 82.25 s. Tail-concentrated contention is now a
+    // hard clause: >=5% of >=100 band rows over 2x their own band.
+    val (d, c) = verdict(calib0 = 0.203, calib1 = 0.101,
+      spin0 = 69.9, mtspin0 = 81.5, spin1 = 73.5, mtspin1 = 100.9,
+      loadAtMax = 12.44, cores = 32, calibMedSweep = 0.179,
+      bandMedRatio = 1.13, bandN = 321, nOverBand2x = 40)
+    assert(d && c.contains("tail=true"), c)
+    assert(!c.contains("calib=true") && !c.contains("spin=true") &&
+      !c.contains("load=true") && !c.contains("band=true"),
+      s"only the tail clause should fire on this fingerprint: $c")
+    // the r12 driver sample (28/318 over 2x at median 1.01) was the same
+    // shape one round earlier — it now flags too
+    assert(verdict(bandMedRatio = 1.01, bandN = 318, nOverBand2x = 28)._1)
+  }
+
+  test("tail clause boundaries: 5% of band rows, >=100 rows, quiet immunity") {
+    // exactly 5% trips (>=), one row under does not
+    assert(Bench.tailContention(16, 320) && verdict(bandN = 320,
+      nOverBand2x = 16)._1)
+    assert(!Bench.tailContention(15, 320) && !verdict(bandN = 320,
+      nOverBand2x = 15)._1)
+    // quiet sweeps (0-2 rows over 2x on 321 rows — every builder/judge
+    // quiet sweep to date) sit far under the line
+    assert(!verdict(bandN = 321, nOverBand2x = 2)._1)
+    // no band coverage => no tail evidence (non-sf0.1 dirs)
+    assert(!Bench.tailContention(40, 99) && !verdict(bandN = 0,
+      nOverBand2x = 0)._1)
+    // mutually exclusive with the quiet-sweep override by construction:
+    // the override demands <=1% over 2x, the tail clause >=5%
+    assert(!(Bench.tailContention(16, 320) && 16 * 100 <= 320))
+  }
+
   test("band-clamped total bounds tail-concentrated contention") {
     // the driver-r12 shape in miniature: most rows at band, a contended
     // subset far over it. Clamp = sum(min(measured, 2*band)); un-banded
