@@ -526,6 +526,135 @@ object LlmOps {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Eager localCheckpoint + STATS truncation for iterated relations
+    * (round 14). `Dataset.localCheckpoint` truncates LINEAGE but
+    * `LogicalRDD.fromDataset` carries the origin plan's ESTIMATED stats
+    * forward — and a loop whose next round references the checkpointed
+    * result more than once (labelprop: stepped⋈stepped pointer doubling
+    * plus two hop references) MULTIPLIES that sizeInBytes estimate into
+    * itself, so its BigInt bit length grows ×4 per round. Measured on a
+    * diameter-511 chain: 37 bits → 10.4 MILLION bits by round 10, at
+    * which point Catalyst's stats arithmetic (BigInteger.multiply under
+    * SizeInBytesOnlyStatsPlanVisitor) is the dominant DRIVER cost — 63 s
+    * for one round over 512 rows, executor threads parked (jstack
+    * evidence; jobs/tasks/plan depth all constant). Clique-dense near-dup
+    * corpora converge in ~5 rounds and never felt it; long drift chains
+    * (diameter ≫ 2^rounds) are exactly the 100 TB crawl shape. Rebuilding
+    * the frame from the checkpointed RDD resets stats to the session
+    * default — constant bits per round — at the price of one Row
+    * encode/decode layer over the contracted graph (KB–MB scale, linear).
+    * After the fix the same chain runs every round at the scheduler
+    * floor. Single-reference loops (pagerank's pr) grow stats
+    * ADDITIVELY and do not need this.
+    */
+  private def ckptStatsTruncated(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** The min-label-propagation fixpoint on a contracted set graph:
+    * every set takes the min of its own and its neighbors' labels (one
+    * edge⋈label join + min-aggregate per round) plus pointer doubling,
+    * converged when no label changes, bounded by component diameter.
+    * Returns (labels(sid, lbl), rounds). Factored out of the
+    * dedup_cc_labelprop Spec (round 14) so the scale rung can drive the
+    * SAME loop on derived 10×/100× replica graphs and long-diameter
+    * chain graphs — measuring that rounds grow with component diameter
+    * (log-ish under pointer doubling) while per-round cost stays
+    * scheduler-floor-bound until the contracted graph is large enough
+    * for data cost to take over (docs/SCALE.md carries the table).
+    *
+    * `setPairs` must expose sa/sb (undirected edge per row, sa<sb);
+    * `setIds` one `set_id` row per vertex.
+    */
+  private[graft] def labelPropLoop(setPairs: DataFrame,
+                                   setIds: DataFrame): (DataFrame, Int) = {
+    // size the iteration's parallelism to the CONTRACTED graph: the
+    // per-round cost of a tiny graph at full shuffle width is pure
+    // scheduler overhead (measured ~1.6 s/round at 32 partitions vs
+    // ~0.2 s at 1 for a 58k-edge graph); a 100 TB corpus contracts to
+    // millions of sets and scales the width back up. The pair count
+    // comes free off the memoized relation — one checkpoint, not two.
+    val p = math.max(1, math.min(32, (2L * setPairs.count() / 500000L).toInt))
+    // NOTE (round 13): disabling AQE for the loop was measured and
+    // REJECTED — static plans sort-merge-join the tiny relations at
+    // full shuffle width (steady 2.5 s → 14+ s); AQE's runtime
+    // broadcast conversion is load-bearing here even though its
+    // per-exchange stage-jobs dominate the loop's wall clock
+    // (JobProf: ~134 jobs × ~20 ms for one steady execution).
+    val edges = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
+      .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
+      .repartition(p).localCheckpoint()
+    var labels = setIds.select(col("set_id").as("sid"),
+      col("set_id").as("lbl")).repartition(p).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      // Round-13 floor analysis (the r12 verdict's round-fusion
+      // order, investigated to a measured conclusion): the loop's
+      // wall time is NOT "2 jobs/round" — AQE materializes every
+      // exchange as its own stage-job, and JobProf read ~134 jobs of
+      // ~20 ms for one steady execution (~2.5 s of scheduler round
+      // trips over KB-sized data). Three fusion attempts, all
+      // measured at sf0.1 and REJECTED:
+      //   (a) pointer QUADRUPLING — did not cut rounds (the label
+      //       forest is already shallow after each neighbor-min;
+      //       the graph-diameter bound binds, not chain length);
+      //   (b) multi-EDGE-hop rounds (hop∘hop∘hop per round) — cut
+      //       rounds 5 → 3 but wall time was a wash (A/B with the
+      //       memo pre-built: 2.9-3.2 s both): total exchange count
+      //       is invariant under fusion and AQE schedules per
+      //       EXCHANGE, not per round;
+      //   (c) AQE OFF for the loop — catastrophic (steady 2.5 →
+      //       14+ s): static plans sort-merge-join the tiny
+      //       relations at full shuffle width; AQE's runtime
+      //       broadcast conversion is load-bearing.
+      // Conclusion: Spark's per-exchange scheduling minimum is the
+      // binding constraint for iterative ops on a CONTRACTED graph
+      // this small; the query stays on the SLOW allowlist with this
+      // breakdown as the justification. (At 100 TB the contracted
+      // graph is millions of sets and the per-round DATA cost
+      // dominates — the fixed floor is a local[32]-at-sf0.1
+      // artifact, which is why fusing it buys nothing real. The
+      // round-14 scale rung MEASURES that takeover: see the
+      // labelprop rows in docs/SCALE.md.)
+      def hop(lab: DataFrame): DataFrame = {
+        val nbMin = edges
+          .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
+          .groupBy("sid").agg(min("nlbl").as("mn"))
+        lab.join(nbMin, Seq("sid"), "left")
+          .select(col("sid"),
+            least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+      }
+      // one neighbor-min hop per round (see the floor analysis
+      // above for why fusing more hops in is a measured wash);
+      // `prev` rides along for the convergence compare
+      val stepped = ckptStatsTruncated(hop(labels)
+        .join(labels.select(col("sid"), col("lbl").as("prev")), "sid"))
+      // pointer doubling stays: follow the label's own label
+      // (lbl(lbl(v))) so a min also travels label-forest shortcuts —
+      // a lazy self-join over the checkpointed `stepped`, one cheap
+      // join layer in the count pipeline, no third job per round
+      val next = stepped
+        .join(stepped.select(col("sid").as("lbl"),
+          col("lbl").as("plbl")), Seq("lbl"), "left")
+        .select(col("sid"), col("prev"),
+          coalesce(col("plbl"), col("lbl")).as("nxt"))
+      changed = next.where(col("nxt") =!= col("prev")).count()
+      labels = next.select(col("sid"), col("nxt").as("lbl"))
+      iter += 1
+    }
+    // a capped exit with changed>0 would emit non-converged labels —
+    // distinguish it loudly from a genuine fixpoint
+    if (changed > 0)
+      System.err.println(s"[graft] WARNING labelPropLoop hit the " +
+        s"iteration cap after $iter rounds with $changed labels still " +
+        "changing — component labels may be NON-CONVERGED")
+    else
+      System.err.println(s"[graft] labelPropLoop converged after $iter rounds")
+    (labels, iter)
+  }
+
   val all: Seq[Spec] = Seq(
     // ------------------------------------------------------ deduplication
     Spec("dedup_exact",
@@ -666,89 +795,8 @@ object LlmOps {
     Spec("dedup_cc_labelprop",
       (s, d) => {
         val groups = tokenSetGroups(s, d)
-        val setPairs = minhashSetPairs(s, d)
-        // size the iteration's parallelism to the CONTRACTED graph: the
-        // per-round cost of a tiny graph at full shuffle width is pure
-        // scheduler overhead (measured ~1.6 s/round at 32 partitions vs
-        // ~0.2 s at 1 for a 58k-edge graph); a 100 TB corpus contracts to
-        // millions of sets and scales the width back up. The pair count
-        // comes free off the memoized relation — one checkpoint, not two.
-        val p = math.max(1, math.min(32, (2L * setPairs.count() / 500000L).toInt))
-        // NOTE (round 13): disabling AQE for the loop was measured and
-        // REJECTED — static plans sort-merge-join the tiny relations at
-        // full shuffle width (steady 2.5 s → 14+ s); AQE's runtime
-        // broadcast conversion is load-bearing here even though its
-        // per-exchange stage-jobs dominate the loop's wall clock
-        // (JobProf: ~134 jobs × ~20 ms for one steady execution).
-        val edges = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
-          .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
-          .repartition(p).localCheckpoint()
-        var labels = groups.select(col("set_id").as("sid"),
-          col("set_id").as("lbl")).repartition(p).localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 50) {
-          // Round-13 floor analysis (the r12 verdict's round-fusion
-          // order, investigated to a measured conclusion): the loop's
-          // wall time is NOT "2 jobs/round" — AQE materializes every
-          // exchange as its own stage-job, and JobProf read ~134 jobs of
-          // ~20 ms for one steady execution (~2.5 s of scheduler round
-          // trips over KB-sized data). Three fusion attempts, all
-          // measured at sf0.1 and REJECTED:
-          //   (a) pointer QUADRUPLING — did not cut rounds (the label
-          //       forest is already shallow after each neighbor-min;
-          //       the graph-diameter bound binds, not chain length);
-          //   (b) multi-EDGE-hop rounds (hop∘hop∘hop per round) — cut
-          //       rounds 5 → 3 but wall time was a wash (A/B with the
-          //       memo pre-built: 2.9-3.2 s both): total exchange count
-          //       is invariant under fusion and AQE schedules per
-          //       EXCHANGE, not per round;
-          //   (c) AQE OFF for the loop — catastrophic (steady 2.5 →
-          //       14+ s): static plans sort-merge-join the tiny
-          //       relations at full shuffle width; AQE's runtime
-          //       broadcast conversion is load-bearing.
-          // Conclusion: Spark's per-exchange scheduling minimum is the
-          // binding constraint for iterative ops on a CONTRACTED graph
-          // this small; the query stays on the SLOW allowlist with this
-          // breakdown as the justification. (At 100 TB the contracted
-          // graph is millions of sets and the per-round DATA cost
-          // dominates — the fixed floor is a local[32]-at-sf0.1
-          // artifact, which is why fusing it buys nothing real.)
-          def hop(lab: DataFrame): DataFrame = {
-            val nbMin = edges
-              .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
-              .groupBy("sid").agg(min("nlbl").as("mn"))
-            lab.join(nbMin, Seq("sid"), "left")
-              .select(col("sid"),
-                least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-          }
-          // one neighbor-min hop per round (see the floor analysis
-          // above for why fusing more hops in is a measured wash);
-          // `prev` rides along for the convergence compare
-          val stepped = hop(labels)
-            .join(labels.select(col("sid"), col("lbl").as("prev")), "sid")
-            .localCheckpoint()
-          // pointer doubling stays: follow the label's own label
-          // (lbl(lbl(v))) so a min also travels label-forest shortcuts —
-          // a lazy self-join over the checkpointed `stepped`, one cheap
-          // join layer in the count pipeline, no third job per round
-          val next = stepped
-            .join(stepped.select(col("sid").as("lbl"),
-              col("lbl").as("plbl")), Seq("lbl"), "left")
-            .select(col("sid"), col("prev"),
-              coalesce(col("plbl"), col("lbl")).as("nxt"))
-          changed = next.where(col("nxt") =!= col("prev")).count()
-          labels = next.select(col("sid"), col("nxt").as("lbl"))
-          iter += 1
-        }
-        // a capped exit with changed>0 would emit non-converged labels —
-        // distinguish it loudly from a genuine fixpoint
-        if (changed > 0)
-          System.err.println(s"[graft] WARNING dedup_cc_labelprop hit the " +
-            s"iteration cap after $iter rounds with $changed labels still " +
-            "changing — component labels may be NON-CONVERGED")
-        else
-          System.err.println(s"[graft] dedup_cc_labelprop converged after $iter rounds")
+        val (labels, _) = labelPropLoop(minhashSetPairs(s, d),
+          groups.select(col("set_id")))
         groups.select(col("set_id").as("sid"), explode(col("members")).as("doc_id"))
           .join(labels, "sid")
           .select(col("doc_id"), col("lbl").as("component_id"))
@@ -764,6 +812,7 @@ object LlmOps {
                  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
                SELECT s AS doc_id, min(t) AS component_id
                FROM reach GROUP BY s ORDER BY s""")),
+
 
     // INCREMENTAL dedup (round 12) — the crawl-pipeline shape none of the
     // other dedups have: an INCOMING batch (docs with id ≥ 80% of max —

@@ -131,6 +131,103 @@ class ScaleSpec extends AnyFunSuite {
     assert(b100 <= 2L * b1,
       s"max band bucket grew $b1 → $b100 at 100x — bucket width must be " +
         "content-keyed (clique-bounded), not corpus-proportional")
+    // Labelprop at 100x (round-14 verdict #4): the fixture + memoized
+    // pairs are already built above, so the loop rung rides for its own
+    // cost. Disjoint replicas keep the diameter: rounds must match 1x
+    // while the loop chews 100x the edges — the regime where per-round
+    // DATA cost starts to take over from the scheduler floor (the
+    // parallelism heuristic itself stays contracted-graph-sized).
+    val t1 = System.nanoTime()
+    val (lab1, r1) = ops.LlmOps.labelPropLoop(
+      ops.LlmOps.minhashSetPairs(s, base), g1.select(col("set_id")))
+    lab1.count()
+    val w1 = (System.nanoTime() - t1) / 1e9
+    val t100 = System.nanoTime()
+    val (lab100, r100) = ops.LlmOps.labelPropLoop(
+      ops.LlmOps.minhashSetPairs(s, dir100), g100.select(col("set_id")))
+    lab100.count()
+    val w100 = (System.nanoTime() - t100) / 1e9
+    info(f"labelprop 1x:   edges=$v1%7d rounds=$r1 wall=$w1%.2fs " +
+      f"(${w1 / r1}%.3fs/round)")
+    info(f"labelprop 100x: edges=$v100%7d rounds=$r100 wall=$w100%.2fs " +
+      f"(${w100 / r100}%.3fs/round)")
+    assert(r100 == r1,
+      s"rounds are diameter-bound: 100x replicas must converge in $r1 " +
+        s"rounds, got $r100")
+    // 100x the edges must NOT cost 100x the per-round wall — the floor
+    // amortizes first, then per-round data cost grows linearly at most.
+    // Generous bound (25x + 2s) keeps host noise from flaking the gate.
+    assert(w100 / r100 <= 25.0 * (w1 / r1) + 2.0,
+      f"per-round wall grew ${w1 / r1}%.3f -> ${w100 / r100}%.3f s/round " +
+        "at 100x edges — super-linear")
+    ops.LlmOps.unpersistAll(s)
+  }
+
+  test("labelprop rounds are diameter-bound and replica-invariant; per-round cost amortizes the scheduler floor") {
+    // Round-14 verdict #4: labelprop/pagerank were the only load-bearing
+    // loops with no measured scale curve. Two claims, measured:
+    //  (a) ROUNDS are bound by component diameter, log-ish under pointer
+    //      doubling — NOT by corpus size. On a path graph of diameter D
+    //      the closed form is d_k = 2^(k+1)-2 reach per round (one
+    //      neighbor hop then lbl(lbl(v))), so rounds ≈ log2(D) + 1
+    //      convergence-detect round: D=127 ⇒ 8, D=2047 ⇒ 12.
+    //  (b) replica scaling (token-disjoint 10× corpus = 10× edges, SAME
+    //      diameter) leaves rounds FIXED while per-round wall grows far
+    //      slower than the graph — the r13 floor analysis's flip side:
+    //      at sf0.1-class sizes the per-exchange scheduler minimum, not
+    //      data, binds each round, so 10× the edges does not cost 10×.
+    def chain(v: Long): (Int, Double, Boolean) = {
+      val ids = s.range(v).select(col("id").as("set_id"))
+      val edges = s.range(v - 1)
+        .select(col("id").as("sa"), (col("id") + lit(1L)).as("sb"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = ops.LlmOps.labelPropLoop(edges, ids)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val converged = labels.agg(max("lbl")).head().getLong(0) == 0L &&
+        labels.count() == v
+      (rounds, wall, converged)
+    }
+    val (rShort, wShort, okShort) = chain(128)
+    val (rLong, wLong, okLong) = chain(2048)
+    info(f"chain D=127:  rounds=$rShort wall=$wShort%.2fs " +
+      f"(${wShort / rShort}%.3fs/round)")
+    info(f"chain D=2047: rounds=$rLong wall=$wLong%.2fs " +
+      f"(${wLong / rLong}%.3fs/round)")
+    assert(okShort && okLong, "chain components must converge to label 0")
+    assert(rLong > rShort,
+      s"rounds must grow with diameter ($rShort -> $rLong)")
+    // 16x the diameter must cost ~log2(16)=4 extra rounds, not 16x —
+    // the pointer-doubling claim, with slack for convergence detection
+    assert(rLong <= rShort + 8,
+      s"rounds grew $rShort -> $rLong on 16x diameter — doubling broken?")
+
+    // (b) the real contracted graph at 1x and 10x (disjoint replicas:
+    // identical component structure, 10x the edges)
+    def corpus(dir: String): (Long, Int, Double) = {
+      val pairs = ops.LlmOps.minhashSetPairs(s, dir)
+      val nEdges = pairs.count()
+      val ids = ops.LlmOps.tokenSetGroups(s, dir).select(col("set_id"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = ops.LlmOps.labelPropLoop(pairs, ids)
+      labels.count()
+      (nEdges, rounds, (System.nanoTime() - t0) / 1e9)
+    }
+    val (e1, r1, w1) = corpus(base)
+    val (e10, r10, w10) = corpus(fixture(10))
+    info(f"corpus 1x:  edges=$e1%6d rounds=$r1 wall=$w1%.2fs " +
+      f"(${w1 / r1}%.3fs/round)")
+    info(f"corpus 10x: edges=$e10%6d rounds=$r10 wall=$w10%.2fs " +
+      f"(${w10 / r10}%.3fs/round)")
+    assert(e10 == 10 * e1, s"disjoint replicas must give exactly 10x edges")
+    assert(r10 == r1,
+      s"rounds are diameter-bound: 10x replicas (same diameter) must " +
+        s"converge in the same $r1 rounds, got $r10")
+    // per-round wall must grow FAR slower than the 10x graph: the
+    // scheduler floor amortizes. Generous bound (6x + 1s) so host noise
+    // can't flake the gate; measured values go to info/SCALE.md.
+    assert(w10 / r10 <= 6.0 * (w1 / r1) + 1.0,
+      f"per-round wall grew ${w1 / r1}%.3f -> ${w10 / r10}%.3f s/round " +
+        "on 10x edges — the floor-amortization claim failed")
     ops.LlmOps.unpersistAll(s)
   }
 
