@@ -69,6 +69,23 @@ class BenchRuleSpec extends AnyFunSuite {
     assert(!Bench.calibElevated(1.2 * Bench.CalibQuietS))
   }
 
+  test("write-roundtrip rows are tail-exempt: counted in median, not in over-2x") {
+    // round-14 verdict #5: a judge quiet sweep (median 1.01) read
+    // scan_csv_roundtrip at 2.20x the builder band — write round trips
+    // measure filesystem state, the one row class whose band can't
+    // transfer across hosts. They must not feed the over-2x tail count
+    // (tail clause / override withholding) but must stay in the median.
+    val band = Map("a" -> 1.0, "b" -> 1.0, "scan_csv_roundtrip" -> 0.2)
+    val (med, over, n) = Bench.bandStats(
+      Seq("a" -> 1.0, "b" -> 1.0, "scan_csv_roundtrip" -> 0.45), band)
+    assert(n == 3 && over == 0, s"FS-jitter row must not count over-2x ($over)")
+    assert(med == 1.0)
+    // a genuine compute row at the same ratio still counts
+    assert(Bench.bandStats(Seq("a" -> 2.25, "b" -> 1.0), band)._2 == 1)
+    assert(Bench.tailExempt == Set("scan_csv_roundtrip",
+      "scan_json_roundtrip", "scan_orc_roundtrip"))
+  }
+
   test("per-query band stats: median ratio is robust, over-2x counts") {
     val band = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "tiny" -> 0.01)
     // uniform 1.6x host degradation reads as median 1.6; one genuine 5x
