@@ -547,7 +547,7 @@ object LlmOps {
     * floor. Single-reference loops (pagerank's pr) grow stats
     * ADDITIVELY and do not need this.
     */
-  private def ckptStatsTruncated(df: DataFrame): DataFrame = {
+  private[graft] def ckptStatsTruncated(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }

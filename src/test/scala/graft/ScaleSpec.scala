@@ -163,6 +163,40 @@ class ScaleSpec extends AnyFunSuite {
     ops.LlmOps.unpersistAll(s)
   }
 
+  test("iterated checkpoints truncate STATS, not just lineage (round-14 bug guard)") {
+    // The round-14 finding, pinned without timing: plain localCheckpoint
+    // carries the origin plan's estimated sizeInBytes forward, so a
+    // self-joined loop would multiply it into itself (bit length ×4 per
+    // round — 37 → 10.4M bits by round 10 on a diameter-511 chain,
+    // BigInteger.multiply became the dominant DRIVER cost). The
+    // stats-truncating checkpoint must reset to the session default,
+    // CONSTANT bits regardless of how inflated the origin estimate was.
+    val seed0 = s.range(1024).select(col("id").as("sid"), col("id").as("lbl"))
+    // build an origin whose estimate is a product of products — four
+    // stacked self-joins multiply the estimate into itself repeatedly
+    def selfJoin(df: org.apache.spark.sql.DataFrame) =
+      df.join(df.select(col("sid").as("lbl"), col("lbl").as("x")), Seq("lbl"), "left")
+        .select(col("sid"), coalesce(col("x"), col("lbl")).as("lbl"))
+    val inflated = selfJoin(selfJoin(selfJoin(selfJoin(seed0))))
+    val bitsInflated =
+      inflated.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    val plainCkpt = inflated.localCheckpoint()
+      .queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    val truncated = ops.LlmOps.ckptStatsTruncated(inflated)
+    val bitsTruncated =
+      truncated.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    info(s"origin estimate $bitsInflated bits (plain localCheckpoint " +
+      s"keeps $plainCkpt) -> truncated $bitsTruncated bits")
+    assert(bitsInflated > 64,
+      s"fixture must produce an inflated estimate, got $bitsInflated bits")
+    assert(bitsTruncated <= 64,
+      s"truncated checkpoint must reset stats to the session default " +
+        s"(<= 64 bits), got $bitsTruncated — the exponential-stats bug is back")
+    // and the data must be byte-identical through the truncation
+    assert(truncated.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      inflated.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("labelprop rounds are diameter-bound and replica-invariant; per-round cost amortizes the scheduler floor") {
     // Round-14 verdict #4: labelprop/pagerank were the only load-bearing
     // loops with no measured scale curve. Two claims, measured:
