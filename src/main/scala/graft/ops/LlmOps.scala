@@ -593,10 +593,13 @@ object LlmOps {
       // Round-13 floor analysis (the r12 verdict's round-fusion
       // order, investigated to a measured conclusion): the loop's
       // wall time is NOT "2 jobs/round" — AQE materializes every
-      // exchange as its own stage-job, and JobProf read ~134 jobs of
-      // ~20 ms for one steady execution (~2.5 s of scheduler round
-      // trips over KB-sized data). Three fusion attempts, all
-      // measured at sf0.1 and REJECTED:
+      // exchange as its own stage-job. Round-14 re-measure with the
+      // corrected per-job counter (the r13 "~134" figure counted
+      // per-stage listener lines too — r13 ADVICE): 83 true jobs /
+      // 3.1 s for one steady sf0.1 execution, ~37 ms of scheduler
+      // round trip per job over KB-sized data — same conclusion,
+      // corrected count. Three fusion attempts, all measured at
+      // sf0.1 and REJECTED:
       //   (a) pointer QUADRUPLING — did not cut rounds (the label
       //       forest is already shallow after each neighbor-min;
       //       the graph-diameter bound binds, not chain length);
