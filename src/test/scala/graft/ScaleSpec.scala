@@ -247,7 +247,8 @@ class ScaleSpec extends AnyFunSuite {
       (nEdges, rounds, (System.nanoTime() - t0) / 1e9)
     }
     val (e1, r1, w1) = corpus(base)
-    val (e10, r10, w10) = corpus(fixture(10))
+    val dir10 = fixture(10)
+    val (e10, r10, w10) = corpus(dir10)
     info(f"corpus 1x:  edges=$e1%6d rounds=$r1 wall=$w1%.2fs " +
       f"(${w1 / r1}%.3fs/round)")
     info(f"corpus 10x: edges=$e10%6d rounds=$r10 wall=$w10%.2fs " +
@@ -262,6 +263,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(w10 / r10 <= 6.0 * (w1 / r1) + 1.0,
       f"per-round wall grew ${w1 / r1}%.3f -> ${w10 / r10}%.3f s/round " +
         "on 10x edges — the floor-amortization claim failed")
+
+    // pagerank — the other load-bearing loop (FIXED 10 rounds, so its
+    // whole curve is per-round cost): same replica evidence, riding the
+    // set-pair memos the corpus() probes above already built. min-of-2
+    // so a JIT-cold first sample can't flake the bound.
+    def prWall(dir: String): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("graph_pagerank")(s, dir).count()
+      assert(n == 20)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val (p1, p10) = (prWall(base), prWall(dir10))
+    info(f"pagerank 1x: wall=$p1%.2fs (${p1 / 10}%.3fs/round)  " +
+      f"10x: wall=$p10%.2fs (${p10 / 10}%.3fs/round)")
+    assert(p10 <= 6.0 * p1 + 2.0,
+      f"pagerank wall grew $p1%.2f -> $p10%.2f s on 10x edges — " +
+        "super-linear; the per-exchange floor should amortize first")
     ops.LlmOps.unpersistAll(s)
   }
 
