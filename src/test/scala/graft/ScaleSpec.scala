@@ -50,18 +50,27 @@ class ScaleSpec extends AnyFunSuite {
     dir.toString
   }
 
-  /** (n_docs, n_sets, n_candidates, n_verified, build_s) at one scale. */
-  private def probe(sfDir: String): (Long, Long, Long, Long, Double) = {
+  /** (n_docs, n_sets, n_candidates, n_verified, build_s, n_prefix) at
+    * one scale. n_prefix = the EXACT AllPairs/PPJoin candidate count
+    * (round 14): token-prefixed replicas are string-disjoint, so the
+    * prefix join admits ZERO cross-replica pairs, and each replica's
+    * per-set (df, token) rank order equals the base corpus's (df values
+    * replicate; the string tiebreak preserves within-replica order) —
+    * the prefix selection is identical per replica, so the candidate
+    * relation of the N× fixture is exactly N disjoint copies.
+    */
+  private def probe(sfDir: String): (Long, Long, Long, Long, Double, Long) = {
     graft.functions.SortedIntersectCountExpr.register(s)
     val t0 = System.nanoTime()
     val groups = ops.LlmOps.tokenSetGroups(s, sfDir)
     val nSets = groups.count()
+    val nPrefix = ops.LlmOps.prefixCandidates(groups).count()
     val nCand = ops.LlmOps.minhashBandCandidates(groups).count()
     // memoized verified relation = the ≥0.9 set-pair survivors
     val nVerified = ops.LlmOps.minhashSetPairs(s, sfDir).count()
     val secs = (System.nanoTime() - t0) / 1e9
     val nDocs = Tables.t(s, sfDir, "documents").count()
-    (nDocs, nSets, nCand, nVerified, secs)
+    (nDocs, nSets, nCand, nVerified, secs, nPrefix)
   }
 
   test("dedup candidate/verify counts grow linearly, not quadratically, to 10x") {
@@ -69,11 +78,19 @@ class ScaleSpec extends AnyFunSuite {
       val dir = if (f == 1) base else fixture(f)
       val r = probe(dir)
       info(f"scale ${f}%2dx: docs=${r._1}%6d sets=${r._2}%6d " +
-        f"candidates=${r._3}%8d verified=${r._4}%7d build=${r._5}%6.2fs")
+        f"candidates=${r._3}%8d verified=${r._4}%7d build=${r._5}%6.2fs " +
+        f"prefix_cand=${r._6}%8d")
       (f, r)
     }
-    val (_, (d1, s1, c1, v1, _)) = rungs.head
-    for ((f, (dN, sN, cN, vN, _)) <- rungs.tail) {
+    val (_, (d1, s1, c1, v1, _, p1)) = rungs.head
+    for ((f, (dN, sN, cN, vN, _, pN)) <- rungs.tail) {
+      // AllPairs/PPJoin prefix path (the dedup_allpairs_exact flagship):
+      // string-disjoint replicas + preserved per-set ranks make the
+      // candidate count EXACTLY linear — no slack needed
+      assert(pN == f * p1,
+        s"${f}x: prefix-filter candidates must replicate exactly " +
+          s"(${f.toLong * p1}), got $pN — the AllPairs path is not " +
+          "scaling linearly")
       assert(dN == f * d1, s"fixture at ${f}x should hold ${f * d1} docs")
       // token-prefixing is a Jaccard isometry with disjoint replicas:
       // sets and verified pairs replicate EXACTLY
