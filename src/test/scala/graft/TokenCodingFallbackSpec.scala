@@ -30,11 +30,15 @@ class TokenCodingFallbackSpec extends AnyFunSuite {
 
   private def withConf[A](v: Option[String])(body: => A): A = {
     v.fold(spark.conf.unset(CONF))(spark.conf.set(CONF, _))
+    // drop production-coded caches AND the set-pair memo first, so the
+    // fault conf actually governs the rebuild (the memo is keyed by
+    // (session, dir) — a production-built entry would otherwise be
+    // served verbatim and the fallback path never exercised)
+    ops.LlmOps.unpersistAll(spark)
     try body
     finally {
       spark.conf.unset(CONF)
-      // drop the fault-configured cached groups/candidates so later
-      // specs rebuild against the production coding
+      // and again on exit so later specs rebuild with production coding
       ops.LlmOps.unpersistAll(spark)
     }
   }
@@ -68,6 +72,21 @@ class TokenCodingFallbackSpec extends AnyFunSuite {
         "tier 2 must ship the sorted token strings as th")
       assert(pairs() == baseline,
         "string-verify tier changed the emitted pair relation")
+    }
+  }
+
+  test("tier 2 covers the MEMOIZED dedup family: minhash_full string-verifies identically") {
+    // The banded family (dedup_minhash_full / canonical / cc_labelprop /
+    // incremental) flows through buildSetPairs → the same th column —
+    // prove the string tier through the memo too, not just the
+    // unmemoized allpairs path.
+    def rows(): Seq[String] =
+      q("dedup_minhash_full").collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val baseline = rows()
+    withConf(Some(ops.LlmOps.codeSeeds.mkString(","))) {
+      assert(ops.LlmOps.injectiveCodeSeed(spark, sf).isEmpty)
+      assert(rows() == baseline,
+        "memoized banded dedup changed under the string-verify tier")
     }
   }
 
