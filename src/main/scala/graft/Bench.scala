@@ -113,8 +113,10 @@ object Bench {
   /** The distortion rule as a pure function, so the graded gate's logic
     * is unit-testable (BenchRuleSpec sweeps it, including the exact r10
     * driver fingerprint: calib ≫ band while mtspin/spin reads quiet).
-    * Three independent evidence classes; any one trips the flag. Returns
-    * (distorted, which-clauses-fired).
+    * Five independent evidence classes (known-work calib anchor,
+    * parallel spin, load, sustained uniform band elevation, and — since
+    * round 14 — tail-concentrated band elevation); any one trips the
+    * flag. Returns (distorted, which-clauses-fired).
     */
   def distortionVerdict(
       calib0: Double, calib1: Double,
