@@ -148,6 +148,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(b100 <= 2L * b1,
       s"max band bucket grew $b1 → $b100 at 100x — bucket width must be " +
         "content-keyed (clique-bounded), not corpus-proportional")
+    // AllPairs/PPJoin prefix path at 100× (round 14): the exactness
+    // argument from the 1×/3×/10× rung holds at any factor — assert it
+    // one more decade out, bit-exact, no slack.
+    val tp = System.nanoTime()
+    val p1 = ops.LlmOps.prefixCandidates(g1).count()
+    val p100 = ops.LlmOps.prefixCandidates(g100).count()
+    info(f"prefix 100x: candidates=$p100%9d (exact ${p100 / p1}x of $p1) " +
+      f"in ${(System.nanoTime() - tp) / 1e9}%.1fs")
+    assert(p100 == 100 * p1,
+      s"prefix candidates must replicate exactly (${100 * p1}), got $p100")
     // Labelprop at 100x (round-14 verdict #4): the fixture + memoized
     // pairs are already built above, so the loop rung rides for its own
     // cost. Disjoint replicas keep the diameter: rounds must match 1x
