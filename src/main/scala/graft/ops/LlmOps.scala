@@ -582,11 +582,45 @@ object LlmOps {
     // broadcast conversion is load-bearing here even though its
     // per-exchange stage-jobs dominate the loop's wall clock
     // (JobProf: ~134 jobs × ~20 ms for one steady execution).
+    //
+    // Self-loop edges (round 15): min(own, neighbors' min) ≡ min over
+    // {self} ∪ neighbors, so appending one (sid, sid) loop per vertex to
+    // the checkpointed edge relation folds the post-aggregate
+    // least/coalesce left-join into the neighbor-min aggregate itself —
+    // one exchange fewer per round, paid once here with |V| extra edge
+    // rows. Isolated vertices ride their self-loop through the join, so
+    // the all-vertices left join is not needed either.
     val edges = setPairs.select(col("sa").as("sid"), col("sb").as("nb"))
       .unionByName(setPairs.select(col("sb").as("sid"), col("sa").as("nb")))
+      .unionByName(setIds.select(col("set_id").as("sid"),
+        col("set_id").as("nb")))
       .repartition(p).localCheckpoint()
     var labels = setIds.select(col("set_id").as("sid"),
       col("set_id").as("lbl")).repartition(p).localCheckpoint()
+    // Static-plan tier for the TINY contracted graph (round 15): when p
+    // collapsed to 1 (< 250k set pairs — KBs of label/edge data), every
+    // per-round action runs with AQE off, shuffle width p, and explicit
+    // broadcast hints on the label side. The r13 "AQE off is
+    // catastrophic" finding holds only for full-width (32) static SMJ
+    // plans with no hints; with width 1 + hinted BroadcastHashJoin the
+    // static plan is 3 tiny jobs/round with zero AQE replanning
+    // latency (JobProf at sf0.1: see OPTIMIZATION_r15.md). At scale p
+    // grows past 1, `tiny` is false and the loop keeps the measured
+    // AQE path (runtime broadcast conversion, skew handling) — labels
+    // are O(|V|) there and must never carry a broadcast hint.
+    val tiny = p == 1
+    val sess = setPairs.sparkSession
+    def maybeB(df: DataFrame): DataFrame = if (tiny) broadcast(df) else df
+    def scoped[T](f: => T): T =
+      if (!tiny) f
+      else {
+        val kA = "spark.sql.adaptive.enabled"
+        val kP = "spark.sql.shuffle.partitions"
+        val pA = sess.conf.get(kA, "true")
+        val pP = sess.conf.get(kP)
+        sess.conf.set(kA, "false"); sess.conf.set(kP, p.toString)
+        try f finally { sess.conf.set(kA, pA); sess.conf.set(kP, pP) }
+      }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -621,29 +655,36 @@ object LlmOps {
       // artifact, which is why fusing it buys nothing real. The
       // round-14 scale rung MEASURES that takeover: see the
       // labelprop rows in docs/SCALE.md.)
-      def hop(lab: DataFrame): DataFrame = {
-        val nbMin = edges
-          .join(lab.select(col("sid").as("nb"), col("lbl").as("nlbl")), "nb")
-          .groupBy("sid").agg(min("nlbl").as("mn"))
-        lab.join(nbMin, Seq("sid"), "left")
-          .select(col("sid"),
-            least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+      // one neighbor-min hop per round (see the floor analysis above
+      // for why fusing more hops in is a measured wash). The self-loop
+      // rows make the aggregate itself compute least(own, neighbor
+      // min); `prev` rides along for the convergence compare.
+      def hop(lab: DataFrame): DataFrame = edges
+        .join(maybeB(lab.select(col("sid").as("nb"), col("lbl").as("nlbl"))),
+          "nb")
+        .groupBy("sid").agg(min("nlbl").as("lbl"))
+      val (next, nChanged) = scoped {
+        val stepped = ckptStatsTruncated(hop(labels)
+          .join(maybeB(labels.select(col("sid"), col("lbl").as("prev"))),
+            "sid"))
+        // pointer doubling stays: follow the label's own label
+        // (lbl(lbl(v))) so a min also travels label-forest shortcuts —
+        // a self-join over the checkpointed `stepped`. Round 15: the
+        // doubled relation is checkpointed TOO, because it has two
+        // consumers (the convergence count and the next round's hop)
+        // and each would otherwise re-execute the doubling join — the
+        // count paid it once and the next round's materialization paid
+        // it AGAIN. Materializing `next` makes the count a trivial
+        // scan of in-memory blocks and hands the next round a plan
+        // that starts at the checkpoint.
+        val nx = ckptStatsTruncated(stepped
+          .join(maybeB(stepped.select(col("sid").as("lbl"),
+            col("lbl").as("plbl"))), Seq("lbl"), "left")
+          .select(col("sid"), col("prev"),
+            coalesce(col("plbl"), col("lbl")).as("nxt")))
+        (nx, nx.where(col("nxt") =!= col("prev")).count())
       }
-      // one neighbor-min hop per round (see the floor analysis
-      // above for why fusing more hops in is a measured wash);
-      // `prev` rides along for the convergence compare
-      val stepped = ckptStatsTruncated(hop(labels)
-        .join(labels.select(col("sid"), col("lbl").as("prev")), "sid"))
-      // pointer doubling stays: follow the label's own label
-      // (lbl(lbl(v))) so a min also travels label-forest shortcuts —
-      // a lazy self-join over the checkpointed `stepped`, one cheap
-      // join layer in the count pipeline, no third job per round
-      val next = stepped
-        .join(stepped.select(col("sid").as("lbl"),
-          col("lbl").as("plbl")), Seq("lbl"), "left")
-        .select(col("sid"), col("prev"),
-          coalesce(col("plbl"), col("lbl")).as("nxt"))
-      changed = next.where(col("nxt") =!= col("prev")).count()
+      changed = nChanged
       labels = next.select(col("sid"), col("nxt").as("lbl"))
       iter += 1
     }
