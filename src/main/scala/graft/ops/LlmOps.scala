@@ -355,7 +355,16 @@ object LlmOps {
     */
   private def codedSide(groups: DataFrame, side: String, n: String): DataFrame =
     groups.select(col("set_id").as(side), col("th").as(s"th_$side"),
-      col("nt").as(n))
+      col("nt").as(n),
+      // member-grain metadata rides the verified pair relation (round
+      // 15): member count and minimum member (members is sorted) let
+      // the degree/cluster consumers aggregate at SET grain without
+      // re-joining the cached groups against the checkpointed memo — a
+      // join whose inflated LogicalRDD stats bait the optimizer into
+      // injecting a runtime bloom filter (two extra aggregate
+      // subqueries per query) that can never pay off on this relation.
+      size(col("members")).cast("long").as(s"msz_$side"),
+      element_at(col("members"), lit(1)).as(s"m0_$side"))
 
   /** Exact verification at SET granularity: candidate (sa, sb) pairs →
     * surviving pairs with (inter, na, nb, jaccard). One intersection per
@@ -385,7 +394,8 @@ object LlmOps {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= 0.9)
-      .select("sa", "sb", "inter", "na", "nb", "jaccard")
+      .select("sa", "sb", "inter", "na", "nb", "jaccard",
+        "msz_sa", "m0_sa", "msz_sb", "m0_sb")
   }
 
   /** Verified ≥0.9 SET-pair relation from the banded-minhash path,
@@ -418,8 +428,19 @@ object LlmOps {
     graft.functions.SortedIntersectCountExpr.register(s)
     val t0 = System.nanoTime()
     val groups = tokenSetGroups(s, d)
-    val built =
+    val ck =
       verifySetPairs(groups, minhashBandCandidates(groups)).localCheckpoint()
+    // cache ON TOP of the checkpoint and fill it here (round 15): a bare
+    // localCheckpoint's LogicalRDD carries the verify join's inflated
+    // size ESTIMATE, which makes every consumer's join against the memo
+    // look like a 10 GB+ application side — the optimizer then injects a
+    // runtime bloom filter (two aggregate subqueries per query) that can
+    // never pay off on a ~29k-row relation. A filled InMemoryRelation
+    // reports its ACTUAL byte size, so consumers plan against real
+    // stats. Storage is O(surviving set pairs) twice (RDD blocks +
+    // cached batches), both released by unpersistAll.
+    val built = trackedCache(s, d, "setPairs", ck)
+    built.count()
     memoBuildNanos.addAndGet(System.nanoTime() - t0)
     built
   }
@@ -451,8 +472,18 @@ object LlmOps {
                            df: DataFrame): DataFrame = {
     // same plan → CacheManager dedups the storage; tracking one
     // representative DataFrame per (session, scope, tag) is enough to
-    // unpersist it
-    trackedCaches.update(s"${System.identityHashCode(s)}|$scope|$tag", df)
+    // unpersist it. If the key is re-bound to a DIFFERENT plan (seed
+    // resolution or the collideSeeds conf changed within a session), the
+    // previously cached plan would stay pinned in CacheManager with no
+    // tracked handle — release it here before replacing (round-14
+    // ADVICE); a same-plan re-bind (every steady query call) must NOT
+    // unpersist, because CacheManager is sharing that storage.
+    val old = trackedCaches.put(s"${System.identityHashCode(s)}|$scope|$tag", df)
+    old.foreach { o =>
+      if ((o.sparkSession eq s) && !s.sparkContext.isStopped &&
+          !o.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        o.unpersist(blocking = true)
+    }
     df.cache()
   }
   /** Evict every cached / checkpointed relation this module pinned for

@@ -342,17 +342,34 @@ object LlmOps3 {
     // shuffles over the doc and group grains.
     Spec("dedup_cluster_sizes",
       (s, d) => {
+        // One-hop min at SET grain (round 15): the old form expanded the
+        // verified set pairs to ~1M doc pairs (×2 orientations) and
+        // hash-shuffled ~2M edge rows only to take min(nb) per doc. Every
+        // doc in set g sees exactly (members(g) \ {self}) ∪ members(t)
+        // for each verified neighbor t, and `members` is sorted, so
+        // min(nb) = least(second-or-first own member, min over neighbor
+        // sets' FIRST member) — computable from one 29k-row aggregate
+        // over the memoized pair relation plus a per-doc explode of the
+        // cached groups. Same canonical_id per doc (least() skips nulls),
+        // same histogram, oracle unchanged; the quadratic doc-pair
+        // stream never materializes.
         val groups = LlmOps.tokenSetGroups(s, d)
-        val pairs = LlmOps.expandSetPairs(groups, LlmOps.minhashSetPairs(s, d))
-        val edges = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
-          .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
-        val canon = t(s, d, "documents").select("doc_id")
-          .join(edges, Seq("doc_id"), "left")
-          .groupBy("doc_id")
-          .agg(min(col("nb")).as("mn"))
+        val sp = LlmOps.minhashSetPairs(s, d)
+        val contrib = sp.select(col("sa").as("set_id"), col("m0_sb").as("nm"))
+          .unionByName(sp.select(col("sb").as("set_id"),
+            col("m0_sa").as("nm")))
+        val pmin = contrib.groupBy("set_id").agg(min("nm").as("pmin"))
+        val canon = groups
+          .join(pmin, Seq("set_id"), "left")
+          .select(col("members"), col("pmin"),
+            explode(col("members")).as("doc_id"))
           .select(col("doc_id"),
-            least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
-              .as("canonical_id"))
+            least(col("doc_id"),
+              when(col("doc_id") === element_at(col("members"), lit(1)),
+                when(size(col("members")) > 1,
+                  element_at(col("members"), lit(2))))
+                .otherwise(element_at(col("members"), lit(1))),
+              col("pmin")).as("canonical_id"))
         canon.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("n_groups"),
             sum("sz").cast("long").as("n_docs"))

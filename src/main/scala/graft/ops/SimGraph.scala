@@ -79,14 +79,25 @@ object SimGraph {
     // fixture scale.
     Spec("graph_degree_dist",
       (s, d) => {
-        val pairs = LlmOps.expandSetPairs(
-          LlmOps.tokenSetGroups(s, d), LlmOps.minhashSetPairs(s, d))
-        val ends = pairs.select(col("d1").as("doc_id"))
-          .unionByName(pairs.select(col("d2").as("doc_id")))
-        val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("degree"))
-        t(s, d, "documents").select("doc_id")
-          .join(deg, Seq("doc_id"), "left")
-          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        // Degree at SET grain (round 15): the old form expanded the
+        // verified set pairs to ~1M doc pairs and shuffled ~2M endpoint
+        // rows just to count edges per doc. Every doc in set g is
+        // adjacent to its |g|−1 set-mates plus ALL members of each
+        // verified neighbor set, so degree(d∈g) = (|g|−1) +
+        // Σ_{t~g} |t| — one 29k-row aggregate over the memoized pair
+        // relation, then a per-doc explode of the cached groups. Same
+        // histogram (isolated docs fall out as degree 0), oracle
+        // unchanged; the quadratic doc-pair stream never materializes.
+        val groups = LlmOps.tokenSetGroups(s, d)
+        val sp = LlmOps.minhashSetPairs(s, d)
+        val sym = sp.select(col("sa").as("set_id"), col("msz_sb").as("nsz"))
+          .unionByName(sp.select(col("sb").as("set_id"),
+            col("msz_sa").as("nsz")))
+        val cross = sym.groupBy("set_id").agg(sum("nsz").as("cross"))
+        groups.join(cross, Seq("set_id"), "left")
+          .select((size(col("members")).cast("long") - 1 +
+            coalesce(col("cross"), lit(0L))).as("degree"),
+            explode(col("members")).as("doc_id"))
           .groupBy("degree").agg(count(lit(1)).as("n_docs"))
           .orderBy("degree")
       },
