@@ -329,22 +329,30 @@ object LlmOps {
   private[graft] def injectiveCodeSeed(s: SparkSession, d: String): Option[Int] = {
     val k = s"$d|${s.conf.get("graft.dedup.collideSeeds", "")}"
     injectiveSeedMemo.getOrElseUpdate(k, {
+      // persisted for the duration of the seed search (round-14 ADVICE):
+      // the happy path runs ONE aggregate (the persist fills during it),
+      // but a collision-heavy corpus would otherwise re-explode the
+      // documents scan once per retried seed — up to three full scans
+      // before the string fallback.
       val toks = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("token"))
-      val seed = codeSeeds.find { sd =>
-        val r = toks.agg(countDistinct(col("token")).as("ntok"),
-          countDistinct(tokenCode(s, sd, col("token"))).as("ncode")).head()
-        val ok = r.getLong(0) == r.getLong(1)
-        if (!ok) System.err.println(
-          s"[graft] token-code collision at seed 0x${sd.toHexString}: " +
-            s"${r.getLong(0)} distinct tokens -> ${r.getLong(1)} distinct " +
-            "64-bit codes; retrying with the next seed")
-        ok
-      }
-      if (seed.isEmpty) System.err.println(
-        s"[graft] no injective token coding after ${codeSeeds.size} seeds — " +
-          "dedup verify falls back to merging sorted token strings " +
-          "(exact unconditionally, ~3x more verify traffic)")
+        .select(explode(split(col("text"), " ")).as("token")).persist()
+      val seed = try {
+        val found = codeSeeds.find { sd =>
+          val r = toks.agg(countDistinct(col("token")).as("ntok"),
+            countDistinct(tokenCode(s, sd, col("token"))).as("ncode")).head()
+          val ok = r.getLong(0) == r.getLong(1)
+          if (!ok) System.err.println(
+            s"[graft] token-code collision at seed 0x${sd.toHexString}: " +
+              s"${r.getLong(0)} distinct tokens -> ${r.getLong(1)} distinct " +
+              "64-bit codes; retrying with the next seed")
+          ok
+        }
+        if (found.isEmpty) System.err.println(
+          s"[graft] no injective token coding after ${codeSeeds.size} seeds — " +
+            "dedup verify falls back to merging sorted token strings " +
+            "(exact unconditionally, ~3x more verify traffic)")
+        found
+      } finally { toks.unpersist(); () }
       seed
     })
   }

@@ -80,6 +80,16 @@ object PcmCodec extends MediaCodec {
   */
 object ImageIoCodec extends MediaCodec {
   override val name: String = "imageio"
+  // ImageIO's stream cache defaults to DISK (a FileCacheImageInputStream
+  // temp file per read/write — and the encode side in the mm_ queries
+  // pays the same per ImageIO.write). Every payload here is an in-memory
+  // byte array, so the temp-file round trip is pure I/O overhead: at
+  // sf0.1 the per-row PNG encode+decode queries create tens of thousands
+  // of temp files per sweep, and on hosts with slow tmp storage the mm_
+  // block ran ~2× its quiet band from this alone. Memory-backed cache is
+  // the documented switch for byte-array sources (round 15; JVM-global,
+  // idempotent).
+  javax.imageio.ImageIO.setUseCache(false)
   override def open(): MediaDecoder = new MediaDecoder {
     override def decode(payload: Array[Byte], width: Int, height: Int,
                         channels: Int): Array[Float] = {

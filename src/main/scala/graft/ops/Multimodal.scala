@@ -76,6 +76,21 @@ object Multimodal {
     payload.grouped(frameBytes).zipWithIndex
       .collect { case (f, i) if i % every == 0 => f }.toSeq
 
+  /** Spread a doc_id-grain relation across the session's full parallelism
+    * before a per-row media encode/decode (round 15). The testdata is one
+    * small parquet file → ONE scan split, so every synthesized-media query
+    * ran its whole PNG/PCM round trip single-threaded regardless of core
+    * count. The exchanged rows are bare 8-byte ids — negligible against
+    * per-row codec work at ANY corpus size — and round-robin repartition
+    * is retry-safe (sort-before-repartition is on by default). Queries
+    * that carry real payload bytes (mm_pipeline, the extractFeatures
+    * family) deliberately do NOT use this: shuffling payloads to gain
+    * local parallelism is exactly the heavy-bytes-move the 100 TB plan
+    * must avoid; their parallelism comes from input splits.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The reference mechanism: decode + featurize inside mapPartitions so
     * any per-partition setup (a real decoder context, a model) is paid
     * once per partition, not per row. No shuffle — embarrassingly
@@ -204,7 +219,7 @@ object Multimodal {
     Spec("mm_decode_real",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select(col("doc_id")).as[Long]
+        spread(t(s, d, "documents").select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             val dec = ImageIoCodec.open()
             Option(org.apache.spark.TaskContext.get())
@@ -270,7 +285,7 @@ object Multimodal {
     Spec("mm_image_resize",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select(col("doc_id")).as[Long]
+        spread(t(s, d, "documents").select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             val dec = ImageIoCodec.open()
             Option(org.apache.spark.TaskContext.get())
@@ -344,7 +359,7 @@ object Multimodal {
     Spec("mm_audio_energy",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select(col("doc_id")).as[Long]
+        spread(t(s, d, "documents").select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             val dec = PcmCodec.open()
             Option(org.apache.spark.TaskContext.get())
@@ -402,7 +417,7 @@ object Multimodal {
     Spec("mm_phash_dedup",
       (s, d) => {
         import s.implicits._
-        val hashed = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val hashed = spread(t(s, d, "documents").select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             val dec = ImageIoCodec.open()
             Option(org.apache.spark.TaskContext.get())
@@ -484,7 +499,7 @@ object Multimodal {
     Spec("mm_dominant_channel",
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents").select(col("doc_id")).as[Long]
+        spread(t(s, d, "documents").select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             val dec = ImageIoCodec.open()
             Option(org.apache.spark.TaskContext.get())
