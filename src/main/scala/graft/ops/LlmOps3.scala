@@ -403,18 +403,29 @@ object LlmOps3 {
       (s, d) => {
         graft.functions.NGramsGenerator.register(s)
         t(s, d, "documents").createOrReplaceTempView("documents")
+        // One gram-keyed exchange instead of three-and-a-join (round 15):
+        // the old shape aggregated firsts(gram → min doc) and joined the
+        // RAW occurrence stream back on the gram string — the full
+        // trigram text crossed a gram exchange twice (agg + join build).
+        // Repartitioning the occurrences by gram ONCE lets the
+        // (doc, gram) count, the per-gram min window, and the novel
+        // compare all run colocated; only the final per-doc rollup
+        // re-shuffles, at (doc, gram) grain. Same rows (n_novel = Σ cnt
+        // where the gram's min doc is this doc), oracle unchanged.
         s.sql("""WITH tk AS (SELECT doc_id, split(text, ' ') AS toks
                              FROM documents),
-                 g AS (SELECT doc_id, gram
+                 g AS (SELECT /*+ REPARTITION(gram) */ doc_id, gram
                        FROM tk LATERAL VIEW ngrams(toks, 3) t AS pos, gram),
-                 firsts AS (SELECT gram, min(doc_id) AS first_doc
-                            FROM g GROUP BY gram),
-                 j AS (SELECT g.doc_id,
-                         count(*) AS n_grams,
-                         count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                 gd AS (SELECT doc_id, gram, count(*) AS cnt
+                        FROM g GROUP BY doc_id, gram),
+                 w AS (SELECT doc_id, cnt,
+                         min(doc_id) OVER (PARTITION BY gram) AS first_doc
+                       FROM gd),
+                 j AS (SELECT doc_id,
+                         sum(cnt) AS n_grams,
+                         sum(CASE WHEN first_doc = doc_id THEN cnt ELSE 0 END)
                            AS n_novel
-                       FROM g JOIN firsts f ON g.gram = f.gram
-                       GROUP BY g.doc_id)
+                       FROM w GROUP BY doc_id)
                  SELECT doc_id, n_grams, n_novel,
                    (10000 * n_novel) div n_grams AS novelty_bp
                  FROM j ORDER BY doc_id""")
