@@ -579,4 +579,22 @@ class ScalableCumulateSpec extends AnyFunSuite {
     assert(acc.value == 100L,
       s"upstream executed ${acc.value}/100 row-evals — expected exactly one pass")
   }
+
+  test("quantilePicks: high-cardinality group key fails loudly at the cap") {
+    // The partials collect is O(NB·|groups|) BY CONTRACT; a caller who
+    // passes a data-sized group key must get a named error, never a
+    // silent driver OOM (round-15; r14 verdict #2). Cap forced tiny so
+    // the guard fires on fixture data; restored afterwards.
+    val o = t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(30, 2)).as("x"))
+    spark.conf.set("spark.graft.cumulate.maxPartials", "50")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ScalableCumulate.quantilePicks(o, col("x"), Seq(col("x")), lit(1L),
+          Seq((1L, 2L)), groupCols = Seq("o_orderkey")).collect()
+      }
+      assert(e.getMessage.contains("maxPartials"))
+      assert(e.getMessage.contains("high-cardinality"))
+    } finally spark.conf.unset("spark.graft.cumulate.maxPartials")
+  }
 }

@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct tokens — certain on a 100 TB corpus), so recovery must be
   * mechanical code, not advice in an error message (round-14 verdict #2).
   * This spec forces a synthetic collision via the test-only
-  * `graft.dedup.collideSeeds` conf (degrades the named seeds to 251
-  * buckets — guaranteed collisions on this corpus's ~10⁴ tokens) and
+  * `graft.dedup.collideSeeds` conf (degrades the named seeds to 7
+  * buckets — guaranteed collisions by pigeonhole on this test corpus's
+  * 31 distinct tokens at sf0.001) and
   * proves both tiers emit pair-for-pair identical results:
   *   tier 1 — first seed collides ⇒ retry resolves the NEXT seed;
   *   tier 2 — every seed collides ⇒ `th` ships the sorted token strings
