@@ -37,19 +37,19 @@ object Inference {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def cached(s: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame = {
     val k = s"${s.hashCode()}|$d|$key"
-    // fill EAGERLY (round 15): persist() alone is lazy, and the eval
-    // queries evaluate several scalar subquery branches CONCURRENTLY
-    // (broadcast futures) — on the cold path each branch recomputed the
-    // whole explode+score pipeline in parallel before any block landed
-    // in the cache (JobProf: four simultaneous 0.5 s score stages in one
-    // cold eval_kappa_mcc). One count() serializes the fill so every
-    // branch reads cached blocks.
-    def fill(df: DataFrame): DataFrame = { df.persist().count(); df }
-    val df = cache.getOrElseUpdate(k, fill(mk))
+    // NOTE (round 15): an eager fill (persist + count) was tried to stop
+    // the cold path's concurrent scalar-subquery branches from racing the
+    // cache fill (four simultaneous score stages in one cold
+    // eval_kappa_mcc) — and REVERTED: materializing at build time flips
+    // every downstream plan's InMemoryRelation to its executed form,
+    // which triples the printed exchange counts the shuffle-budget pins
+    // key on; re-pinning 3× budgets would blunt that tripwire for a
+    // cold-only win. The race costs duplicate work once per session.
+    val df = cache.getOrElseUpdate(k, mk.persist())
     // identity-hash keys can collide after a session is GC'd/stopped:
     // validate the cached frame still belongs to THIS session.
     if (df.sparkSession eq s) df
-    else { val fresh = fill(mk); cache.update(k, fresh); fresh }
+    else { val fresh = mk.persist(); cache.update(k, fresh); fresh }
   }
 
   /** Exploded (vec_id, label, pos, x) with x as exact double. */
