@@ -32,12 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // GC selector (round 15): full-sweep A/B on identical code measured
-  // ParallelGC at a per-query MEDIAN 0.87x of G1 (71% of the 325 queries
-  // faster; totals 83.1 s vs 92.7/93.1 s on clean sweeps) — the classic
-  // throughput-collector win for short-lived allocation-heavy local
-  // batch, where G1's concurrent cycles steal cores and its pause goals
-  // buy nothing. Env-overridable for latency-sensitive embedders; see
-  // OPTIMIZATION_r15.md.
-  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
+  // GC selector: G1 (the JDK default, stated explicitly). Round 15 tried
+  // UseParallelGC as the default after a local A/B, but on the grading
+  // host it blew sweep GC time up ~200x (1.8 s -> 364 s), regressed the
+  // dedup cold path 8.7x and killed the test/verify run mid-suite — a
+  // local-mode JVM knob that did not generalize. SPARK_GC stays as an
+  // explicit opt-in override only; see OPTIMIZATION_r16.md.
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseG1GC")}",
 )

@@ -495,6 +495,19 @@ object Bench {
     // Long per-query line FIRST (stderr too, for redundancy)…
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     System.err.println(s"""[bench] per_query $qs""")
+    // …and ALSO persisted to a file (round 16, r15 verdict #5): the driver
+    // captures only a bounded stdout tail, so the long per_query line can
+    // fall outside it and the round-over-round per-query table becomes
+    // unbuildable (PERF_r15 had per_query:{}). Additive — the stdout
+    // contract above is unchanged.
+    try {
+      val pqPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PER_QUERY_OUT", "bench_per_query.json"))
+      java.nio.file.Files.write(pqPath,
+        s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      System.err.println(s"[bench] per_query_file ${pqPath.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per_query_file write failed: $e") }
     if (failed.nonEmpty)
       System.err.println(s"""[bench] failed_queries ${failed.mkString(",")}""")
     val (load1, gc1, spin1, mtspin1) = sentinel()
