@@ -188,6 +188,26 @@ object ScalableCumulate {
     try f finally spark.conf.set(k, prev)
   }
 
+  /** Run `f` with shuffle width 1, restoring the previous setting — for
+    * the eager helper collects ONLY (round 16, guide §2.2 "fewer, larger
+    * reduce partitions" taken to its bounded limit). Their reduce side
+    * holds O(NB·|groups|) rows (≤ maxPartials, enforced) bound for a
+    * driver collect, so spreading it over the session's full shuffle
+    * width just pays ~cores task dispatches to partition rows the driver
+    * is about to deserialize anyway; width 1 is the scale-correct shape
+    * for a bounded driver-bound relation AT ANY cluster size — the map
+    * side (the real scan work) keeps its input-split parallelism. Never
+    * applied to a returned query plan. Same session-conf-toggle
+    * concurrency caveat as [[noAqe]].
+    */
+  private[ops] def narrow[T](spark: org.apache.spark.sql.SparkSession)(
+      f: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "1")
+    try f finally spark.conf.set(k, prev)
+  }
+
   /** Materialize `df` once via eager localCheckpoint, recording its
     * upstream shuffle count in the hidden ledger first. No-op when the
     * plan is already a materialized LogicalRDD (so a call site may
@@ -487,9 +507,9 @@ object ScalableCumulate {
       val bounds: Seq[Double] = boundsHint.getOrElse {
         val qs = (1 until nbv).map(i => i.toDouble / nbv)
         val qsSafe = if (qs.isEmpty) Seq(0.5) else qs
-        val boundsRow = noAqe(spark)(audited(in.agg(
+        val boundsRow = noAqe(spark)(narrow(spark)(audited(in.agg(
           percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
-          count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head())
+          count(when(pd.isNull || isnan(pd), 1)).as("bad"))).head()))
         require(boundsRow.getLong(1) == 0L,
           s"quantilePicks: ${boundsRow.getLong(1)} NaN/null primary keys")
         if (qs.isEmpty || boundsRow.isNullAt(0)) Seq.empty
@@ -521,7 +541,7 @@ object ScalableCumulate {
     val ng = groupCols.size
     zero(partSchema("__s").dataType) // reject non-exact partial types
     mNames.foreach(n => zero(partSchema(s"__sm_$n").dataType))
-    val partRows = noAqe(spark)(audited(part).collect())
+    val partRows = noAqe(spark)(narrow(spark)(audited(part).collect()))
     lastPartialsRows = partRows.length
     // Hard cap on the driver collect (round 15; r14 verdict #2): the
     // 100 TB argument is "O(NB·|groups|) rows, independent of input
@@ -714,9 +734,9 @@ object ScalableCumulate {
     // accuracy 1000: bounds only shape bucket SIZES (results depend solely
     // on value order — ScalableCumulateSpec pins bit-identity across
     // bucket layouts), so the cheaper sketch is free
-    val boundsRow = noAqe(spark)(in.agg(
+    val boundsRow = noAqe(spark)(narrow(spark)(in.agg(
       percentile_approx(pd, array(qsSafe.map(lit): _*), lit(1000)).as("b"),
-      count(when(pd.isNull || isnan(pd), 1)).as("bad")).head())
+      count(when(pd.isNull || isnan(pd), 1)).as("bad")).head()))
     require(boundsRow.getLong(1) == 0L,
       s"ScalableCumulate: ${boundsRow.getLong(1)} NaN/null primary order " +
         "keys — bucket assignment cannot rank them; filter or impute " +
@@ -740,7 +760,8 @@ object ScalableCumulate {
     cumTypes.foreach(zero) // reject non-exact partial types up front
 
     val byGroup: Map[Seq[Any], Array[Row]] =
-      noAqe(spark)(part.collect()).groupBy(r => (0 until ng).map(r.get).toSeq)
+      noAqe(spark)(narrow(spark)(part.collect()))
+        .groupBy(r => (0 until ng).map(r.get).toSeq)
     val offRows = mutable.ArrayBuffer.empty[Row]
     val grandTotals = mutable.Map.empty[Seq[Any], Map[String, Any]]
     for ((gkey, grs) <- byGroup) {
