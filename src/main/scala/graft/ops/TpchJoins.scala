@@ -102,7 +102,17 @@ object TpchJoins {
       (s, d) => {
         val li = t(s, d, "lineitem")
         val p = t(s, d, "part").where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
-        val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+        // Pre-filter the per-part average's input with a broadcast
+        // SEMI-join on the selective brand predicate (round 16, guide
+        // §3.2): the correlated threshold is per-part (computed from that
+        // part's own rows only) and the outer join is inner on the same
+        // filtered parts, so restricting avgq to qualifying parts first
+        // is equivalence-preserving — the (partkey) aggregate shuffles
+        // ~12% of the fact (3 of 25 brands) instead of all of it.
+        val avgq = li
+          .join(broadcast(p.select(col("p_partkey").as("a_pk"))),
+            col("l_partkey") === col("a_pk"), "leftsemi")
+          .groupBy(col("l_partkey").as("a_partkey"))
           .agg(((sum("l_quantity") / count(lit(1))) * 0.2).as("small_thresh"))
         li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .join(avgq, col("l_partkey") === col("a_partkey"))
